@@ -1,0 +1,466 @@
+"""Fast tiled rasterizer: binning + chunked per-tile compositing, custom VJP.
+
+This is the TPU-native replacement for the reference CUDA tile rasterizer
+(diff-gaussian-rasterization; SURVEY.md §2.2a). Rather than translating the
+per-pixel sequential CUDA loop, compositing is vectorized over (chunk of S
+splats) x (P tile pixels) blocks:
+
+  forward, per (tile, chunk):
+    alpha[S,P]                 VPU elementwise (one exp per element)
+    T_before = carry * exclusive-cumprod(1-alpha)   (log-step shifted
+                               multiplies — associative scan, no
+                               transcendentals, fp32-exact like the CUDA
+                               sequential products)
+    tile_color += (alpha*T)^T @ rgb[S,3]            (MXU, fp32)
+    carry *= prod(1-alpha over contributing splats); early-out when every
+    pixel's transmittance died
+
+  backward (reverse chunk order — the CUDA back-to-front replay):
+    alpha is recomputed; the only residuals are the per-pixel final
+    transmittance and the index of the last contributing pair (n_contrib),
+    exactly the two quantities the reference kernel saves. T is walked
+    backward by division (T_before = T_end / suffix-prod), the same
+    reconstruction the CUDA backward uses per splat.
+
+The sequential skip (alpha < 1/255, power > 0), cap (0.99) and termination
+(T*(1-alpha) < 1e-4 kills the pixel) semantics of the reference are preserved
+exactly via closed-form masks (see rasterize_oracle.py for the argument:
+splats excluded by the first stop never affect the T of earlier splats, so
+the first-stop index is recoverable from the as-if-no-stop T sequence).
+
+Two interchangeable compositing backends share this math:
+  - XLA backend (this file): vmap over tiles + while_loop over chunks.
+    Runs everywhere (CPU tests, TPU); memory-bounded via tile batching.
+  - Pallas backend (rasterize_pallas.py): one grid step per tile, splat data
+    DMA'd HBM->VMEM, same chunk math in VMEM scratch.
+
+Gradient flow: binning/gather happen in plain JAX (gather's autodiff is the
+scatter-add that accumulates per-pair grads onto Gaussians); only
+``composite_tiles`` carries the custom VJP.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gs_tpu.config import RasterizeConfig
+from gs_tpu.ops import binning
+from gs_tpu.ops.rasterize_oracle import ALPHA_MAX, ALPHA_SKIP, RasterOut, T_EPS
+
+_F32 = jnp.float32
+_HI = jax.lax.Precision.HIGHEST  # fp32 MXU passes; bf16 default breaks parity
+
+
+class CompositeStatic(NamedTuple):
+    """Static (hashable) compositing configuration — custom_vjp nondiff arg."""
+
+    tiles_x: int
+    tiles_y: int
+    tile_w: int
+    tile_h: int
+    chunk: int
+    tile_batch: int
+    backend: str
+
+
+# ----------------------------------------------------------------------------
+# shared chunk math
+# ----------------------------------------------------------------------------
+
+
+def _chunk_alpha(mean, conic, opac, px, py):
+    """alpha/power for a chunk: mean[S,2], conic[S,3], opac[S] vs px/py[P]."""
+    dx = mean[:, 0:1] - px[None, :]
+    dy = mean[:, 1:2] - py[None, :]
+    power = (
+        -0.5 * (conic[:, 0:1] * dx * dx + conic[:, 2:3] * dy * dy)
+        - conic[:, 1:2] * dx * dy
+    )
+    alpha = jnp.minimum(ALPHA_MAX, opac[:, None] * jnp.exp(power))
+    return alpha, power, dx, dy
+
+
+def _tile_pixel_coords(tile_id, st: CompositeStatic):
+    """Global pixel coordinates [P] for a (possibly traced) tile id."""
+    p = jnp.arange(st.tile_w * st.tile_h, dtype=jnp.int32)
+    x0 = (tile_id % st.tiles_x) * st.tile_w
+    y0 = (tile_id // st.tiles_x) * st.tile_h
+    px = (x0 + p % st.tile_w).astype(_F32)
+    py = (y0 + p // st.tile_w).astype(_F32)
+    return px, py
+
+
+def _color_dot(w, rgb):
+    """[S,P]^T @ [S,3] -> [P,3] in full fp32."""
+    return jax.lax.dot_general(
+        w, rgb, (((0,), (0,)), ((), ())), precision=_HI,
+        preferred_element_type=_F32,
+    )
+
+
+# ----------------------------------------------------------------------------
+# forward
+# ----------------------------------------------------------------------------
+
+
+def _forward_one_tile(st, sp_mean, sp_conic, sp_color, sp_opac, tile_id, start, end):
+    """Composite one tile. Returns (color[P,3], T_final[P], n_contrib[P])."""
+    S = st.chunk
+    P = st.tile_w * st.tile_h
+    px, py = _tile_pixel_coords(tile_id, st)
+    n_chunks = jax.lax.div(end - start + S - 1, S)
+
+    def cond(c):
+        k, _, _, died, _ = c
+        return (k < n_chunks) & ~jnp.all(died)
+
+    def body(c):
+        k, color, t_carry, died, ncon = c
+        i0 = start + k * S
+        mean = jax.lax.dynamic_slice(sp_mean, (i0, 0), (S, 2))
+        conic = jax.lax.dynamic_slice(sp_conic, (i0, 0), (S, 3))
+        rgb = jax.lax.dynamic_slice(sp_color, (i0, 0), (S, 3))
+        opac = jax.lax.dynamic_slice(sp_opac, (i0,), (S,))
+        pos = i0 + jnp.arange(S, dtype=jnp.int32)
+
+        alpha, power, _, _ = _chunk_alpha(mean, conic, opac, px, py)
+        incl = (pos < end)[:, None] & (alpha >= ALPHA_SKIP) & (power <= 0.0)
+        omb = jnp.where(incl, 1.0 - alpha, 1.0)  # "one minus alpha"
+        t_before = t_carry[None, :] * (jnp.cumprod(omb, axis=0) / omb)
+        stop = incl & (t_before * (1.0 - alpha) < T_EPS)
+        died_within = jnp.cumsum(stop.astype(jnp.int32), axis=0) - stop.astype(jnp.int32)
+        contrib = incl & ~died[None, :] & (died_within == 0) & ~stop
+
+        w = jnp.where(contrib, alpha * t_before, 0.0)
+        color = color + _color_dot(w, rgb)
+        t_carry = t_carry * jnp.prod(jnp.where(contrib, omb, 1.0), axis=0)
+        ncon = jnp.maximum(ncon, jnp.max(jnp.where(contrib, pos[:, None] + 1, 0), axis=0))
+        died = died | jnp.any(stop, axis=0)
+        return k + 1, color, t_carry, died, ncon
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros((P, 3), _F32),
+        jnp.ones((P,), _F32),
+        jnp.zeros((P,), bool),
+        jnp.zeros((P,), jnp.int32),
+    )
+    _, color, t_final, _, ncon = jax.lax.while_loop(cond, body, init)
+    return color, t_final, ncon
+
+
+def _composite_fwd_xla(st, sp_mean, sp_conic, sp_color, sp_opac, tile_ids, starts,
+                       ends):
+    num_tiles = tile_ids.shape[0]
+
+    fn = functools.partial(_forward_one_tile, st, sp_mean, sp_conic, sp_color, sp_opac)
+    # batch tiles to bound the [TB, S, P] temporaries
+    tb = min(st.tile_batch, num_tiles)
+    pad = (-num_tiles) % tb
+    pad_args = [
+        jnp.concatenate([a, jnp.zeros((pad,), a.dtype)]) for a in (tile_ids, starts, ends)
+    ]
+    grouped = [a.reshape(-1, tb) for a in pad_args]
+    color, t_final, ncon = jax.lax.map(lambda xs: jax.vmap(fn)(*xs), tuple(grouped))
+    flat = lambda a: a.reshape((-1,) + a.shape[2:])[:num_tiles]
+    return flat(color), flat(t_final), flat(ncon)
+
+
+# ----------------------------------------------------------------------------
+# backward
+# ----------------------------------------------------------------------------
+
+
+def _backward_chunk(st, px, py, mean, conic, rgb, opac, pos, end, ncon, g_color, g_t,
+                    t_end, s_suffix):
+    """Reverse-replay one chunk; returns per-pair grads + updated carries.
+
+    Derivation (per pixel; i over contributing splats):
+      C = sum_i w_i c_i,  w_i = alpha_i T_i,  T_i = prod_{j<i} (1-alpha_j)
+      T_fin = prod_i (1-alpha_i)
+      b_i       := c_i . gC
+      dL/dc_i    = w_i gC
+      dL/dalpha_i = m_i [ T_i b_i - (S_after_i + T_fin*gT) / (1-alpha_i) ]
+      with S_after_i = sum_{j>i} w_j b_j (suffix, accumulated across chunks)
+      and m_i the contribution mask. The chain through
+      alpha = min(0.99, opac*exp(power)) mirrors the reference CUDA backward,
+      including its choice to ignore the 0.99 cap in the chain rule.
+
+    ``g_t`` is pre-multiplied by T_fin by the caller (tfin_term).
+    """
+    alpha, power, dx, dy = _chunk_alpha(mean, conic, opac, px, py)
+    incl = (pos < end)[:, None] & (alpha >= ALPHA_SKIP) & (power <= 0.0)
+    contrib = incl & (pos[:, None] < ncon[None, :])
+    omb = jnp.where(contrib, 1.0 - alpha, 1.0)
+
+    # T before each splat, walked backward from the chunk-end carry by division
+    # (identical to the reference backward's per-splat T /= (1-alpha) replay)
+    rev_cumprod_incl = jnp.cumprod(omb[::-1], axis=0)[::-1]  # prod_{j>=i} omb_j
+    t_before = t_end[None, :] / rev_cumprod_incl
+    w = jnp.where(contrib, alpha * t_before, 0.0)  # [S,P]
+
+    b = jax.lax.dot_general(
+        rgb, g_color, (((1,), (1,)), ((), ())), precision=_HI,
+        preferred_element_type=_F32,
+    )  # [S,P] = c_i . gC_p
+    wb = jnp.where(contrib, w * b, 0.0)
+    # strict suffix sum of wb + cross-chunk carry
+    s_after = s_suffix[None, :] + (
+        jnp.cumsum(wb[::-1], axis=0)[::-1] - wb
+    )
+
+    d_alpha = jnp.where(
+        contrib,
+        t_before * b - (s_after + g_t[None, :]) / omb,
+        0.0,
+    )
+
+    # chains (reference CUDA backward: dG ungated by the 0.99 cap)
+    g_exp = jnp.exp(power)
+    d_opac = jnp.sum(jnp.where(contrib, g_exp * d_alpha, 0.0), axis=1)  # [S]
+    d_power = jnp.where(contrib, opac[:, None] * g_exp * d_alpha, 0.0)
+    d_conic = jnp.stack(
+        [
+            jnp.sum(-0.5 * dx * dx * d_power, axis=1),
+            jnp.sum(-dx * dy * d_power, axis=1),
+            jnp.sum(-0.5 * dy * dy * d_power, axis=1),
+        ],
+        axis=-1,
+    )  # [S,3]
+    d_mean = jnp.stack(
+        [
+            jnp.sum(-(conic[:, 0:1] * dx + conic[:, 1:2] * dy) * d_power, axis=1),
+            jnp.sum(-(conic[:, 2:3] * dy + conic[:, 1:2] * dx) * d_power, axis=1),
+        ],
+        axis=-1,
+    )  # [S,2]
+    d_rgb = jax.lax.dot_general(
+        w, g_color, (((1,), (0,)), ((), ())), precision=_HI,
+        preferred_element_type=_F32,
+    )  # [S,P] @ [P,3] -> [S,3]
+
+    # carries stepped back over this chunk
+    t_start = t_end / jnp.prod(omb, axis=0)
+    s_suffix_new = s_suffix + jnp.sum(wb, axis=0)
+    return d_mean, d_conic, d_rgb, d_opac, t_start, s_suffix_new
+
+
+def _composite_bwd_xla(st, residuals, cotangents):
+    (sp_mean, sp_conic, sp_color, sp_opac, tile_ids_in, starts_in, ends_in,
+     t_final, ncon_all) = residuals
+    g_color_all, g_t_all, _ = cotangents  # cotangent of ncon output is ignored
+
+    num_tiles = tile_ids_in.shape[0]
+    S = st.chunk
+    B = sp_mean.shape[0]
+
+    tb = min(st.tile_batch, num_tiles)
+    pad_t = (-num_tiles) % tb
+    n_batches = (num_tiles + pad_t) // tb
+
+    def pad_tiles(a):
+        return jnp.concatenate([a, jnp.zeros((pad_t,) + a.shape[1:], a.dtype)])
+
+    tile_ids = pad_tiles(tile_ids_in)
+    starts = pad_tiles(starts_in)
+    ends = pad_tiles(ends_in)  # padded tiles: start=end=0 -> no chunks
+    g_color_t = pad_tiles(g_color_all)
+    # tfin_term = T_fin * dL/dT_fin, constant per pixel
+    g_t_t = pad_tiles(jnp.asarray(g_t_all) * t_final)
+    t_fin_t = pad_tiles(t_final)
+    ncon_t = pad_tiles(ncon_all)
+
+    d_mean0 = jnp.zeros((B + S, 2), _F32)
+    d_conic0 = jnp.zeros((B + S, 3), _F32)
+    d_rgb0 = jnp.zeros((B + S, 3), _F32)
+    d_opac0 = jnp.zeros((B + S,), _F32)
+
+    def batch_step(accs, bi):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, bi * tb, tb, axis=0)
+        t_ids, t_start, t_end = sl(tile_ids), sl(starts), sl(ends)
+        t_gc, t_gt, t_tf, t_ncon = sl(g_color_t), sl(g_t_t), sl(t_fin_t), sl(ncon_t)
+        n_chunks = jax.lax.div(t_end - t_start + S - 1, S)  # [tb]
+        max_chunks = jnp.max(n_chunks)
+
+        pxs, pys = jax.vmap(lambda tid: _tile_pixel_coords(tid, st))(t_ids)
+
+        def chunk_step(carry):
+            k, t_run, s_suf, dm, dc, dr, do = carry
+            # reverse order: chunk index per tile counts down from its own top
+            kk = n_chunks - 1 - k  # [tb]; negative => inactive this round
+            active = kk >= 0
+            i0 = t_start + jnp.maximum(kk, 0) * S
+
+            def per_tile(i0_i, end_i, ncon_i, px, py, gc, gt, t_i, ss_i):
+                mean = jax.lax.dynamic_slice(sp_mean, (i0_i, 0), (S, 2))
+                conic = jax.lax.dynamic_slice(sp_conic, (i0_i, 0), (S, 3))
+                rgb = jax.lax.dynamic_slice(sp_color, (i0_i, 0), (S, 3))
+                opac = jax.lax.dynamic_slice(sp_opac, (i0_i,), (S,))
+                pos = i0_i + jnp.arange(S, dtype=jnp.int32)
+                return _backward_chunk(
+                    st, px, py, mean, conic, rgb, opac, pos, end_i, ncon_i, gc, gt,
+                    t_i, ss_i,
+                )
+
+            dmc, dcc, drc, doc, t_new, ss_new = jax.vmap(per_tile)(
+                i0, t_end, t_ncon, pxs, pys, t_gc, t_gt, t_run, s_suf
+            )
+            # inactive tiles: zero grads, keep carries
+            zmask = active[:, None, None]
+            dmc = jnp.where(zmask, dmc, 0.0)
+            dcc = jnp.where(zmask, dcc, 0.0)
+            drc = jnp.where(zmask, drc, 0.0)
+            doc = jnp.where(active[:, None], doc, 0.0)
+            t_run = jnp.where(active[:, None], t_new, t_run)
+            s_suf = jnp.where(active[:, None], ss_new, s_suf)
+
+            # scatter chunk grads into the flat pair-grad buffers
+            rows = (i0[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]).reshape(-1)
+            rows = jnp.where(jnp.repeat(active, S), rows, B + S - 1)  # dump slot
+            dm = dm.at[rows].add(dmc.reshape(-1, 2))
+            dc = dc.at[rows].add(dcc.reshape(-1, 3))
+            dr = dr.at[rows].add(drc.reshape(-1, 3))
+            do = do.at[rows].add(doc.reshape(-1))
+            return k + 1, t_run, s_suf, dm, dc, dr, do
+
+        def chunk_cond(carry):
+            return carry[0] < max_chunks
+
+        dm, dc, dr, do = accs
+        init = (
+            jnp.int32(0),
+            t_tf,  # per-pixel transmittance at the end of the tile
+            jnp.zeros((tb, st.tile_w * st.tile_h), _F32),
+            dm, dc, dr, do,
+        )
+        _, _, _, dm, dc, dr, do = jax.lax.while_loop(chunk_cond, chunk_step, init)
+        return (dm, dc, dr, do), None
+
+    (dm, dc, dr, do), _ = jax.lax.scan(
+        batch_step, (d_mean0, d_conic0, d_rgb0, d_opac0),
+        jnp.arange(n_batches, dtype=jnp.int32),
+    )
+    # no grads for the int tile descriptors
+    return dm[:B], dc[:B], dr[:B], do[:B], None, None, None
+
+
+# ----------------------------------------------------------------------------
+# custom_vjp wrapper + public API
+# ----------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def composite_tiles(st: CompositeStatic, sp_mean, sp_conic, sp_color, sp_opac,
+                    tile_ids, starts, ends):
+    """Composite an explicit tile set (supports tile sharding).
+
+    Returns (colors [M,P,3], T_final [M,P], ncon [M,P]) for the M tiles in
+    ``tile_ids``; ``starts``/``ends`` are their pair ranges.
+    """
+    return _composite_dispatch_fwd(st, sp_mean, sp_conic, sp_color, sp_opac,
+                                   tile_ids, starts, ends)
+
+
+def _composite_dispatch_fwd(st, sp_mean, sp_conic, sp_color, sp_opac, tile_ids,
+                            starts, ends):
+    if st.backend == "pallas":
+        from gs_tpu.ops import rasterize_pallas
+
+        return rasterize_pallas.composite_fwd_pallas(
+            st, sp_mean, sp_conic, sp_color, sp_opac, tile_ids, starts, ends
+        )
+    return _composite_fwd_xla(st, sp_mean, sp_conic, sp_color, sp_opac, tile_ids,
+                              starts, ends)
+
+
+def _composite_fwd_rule(st, sp_mean, sp_conic, sp_color, sp_opac, tile_ids, starts,
+                        ends):
+    color, t_final, ncon = _composite_dispatch_fwd(
+        st, sp_mean, sp_conic, sp_color, sp_opac, tile_ids, starts, ends
+    )
+    res = (sp_mean, sp_conic, sp_color, sp_opac, tile_ids, starts, ends, t_final,
+           ncon)
+    return (color, t_final, ncon), res
+
+
+def _composite_bwd_rule(st, residuals, cotangents):
+    if st.backend == "pallas":
+        from gs_tpu.ops import rasterize_pallas
+
+        return rasterize_pallas.composite_bwd_pallas(st, residuals, cotangents)
+    return _composite_bwd_xla(st, residuals, cotangents)
+
+
+composite_tiles.defvjp(_composite_fwd_rule, _composite_bwd_rule)
+
+
+def rasterize_tiled(
+    means2d: jnp.ndarray,
+    conics: jnp.ndarray,
+    colors: jnp.ndarray,
+    opacities: jnp.ndarray,
+    depths: jnp.ndarray,
+    radii: jnp.ndarray,
+    height: int,
+    width: int,
+    bg: jnp.ndarray,
+    cfg: RasterizeConfig,
+    pair_budget: int | None = None,
+) -> RasterOut:
+    """Full fast path: bin -> gather -> composite (custom VJP) -> untile + bg."""
+    n = means2d.shape[0]
+    tiles_x = -(-width // cfg.tile_w)
+    tiles_y = -(-height // cfg.tile_h)
+    num_tiles = tiles_x * tiles_y
+    if pair_budget is None:
+        pair_budget = max(int(cfg.pair_budget_factor * n), cfg.min_pair_budget)
+    pair_budget = -(-pair_budget // cfg.chunk) * cfg.chunk
+
+    b = binning.bin_gaussians(
+        means2d, depths, radii, tiles_x, tiles_y, cfg.tile_w, cfg.tile_h, pair_budget
+    )
+
+    # gather per-pair attributes (autodiff of this gather = scatter-add of grads)
+    g = b.pair_gauss
+    valid_pair = b.pair_tile < num_tiles
+    sp_mean = means2d[g]
+    sp_conic = conics[g]
+    sp_color = colors[g]
+    sp_opac = jnp.where(valid_pair, opacities[g], 0.0)
+
+    # pad by one chunk so dynamic slices never clamp into other tiles' data
+    s = cfg.chunk
+    sp_mean = jnp.concatenate([sp_mean, jnp.zeros((s, 2), sp_mean.dtype)])
+    sp_conic = jnp.concatenate([sp_conic, jnp.zeros((s, 3), sp_conic.dtype)])
+    sp_color = jnp.concatenate([sp_color, jnp.zeros((s, 3), sp_color.dtype)])
+    sp_opac = jnp.concatenate([sp_opac, jnp.zeros((s,), sp_opac.dtype)])
+
+    st = CompositeStatic(
+        tiles_x=tiles_x,
+        tiles_y=tiles_y,
+        tile_w=cfg.tile_w,
+        tile_h=cfg.tile_h,
+        chunk=cfg.chunk,
+        tile_batch=getattr(cfg, "tile_batch", 256),
+        backend=cfg.backend if cfg.backend != "auto" else "xla",
+    )
+    tile_color, tile_t, _ = composite_tiles(
+        st, sp_mean, sp_conic, sp_color, sp_opac,
+        jnp.arange(num_tiles, dtype=jnp.int32),
+        b.tile_offsets[:-1], b.tile_offsets[1:],
+    )
+
+    tile_color = tile_color + tile_t[..., None] * bg[None, None, :]
+
+    # untile [T, P, 3] -> [3, H, W]
+    img = tile_color.reshape(tiles_y, tiles_x, cfg.tile_h, cfg.tile_w, 3)
+    img = img.transpose(4, 0, 2, 1, 3).reshape(3, tiles_y * cfg.tile_h, tiles_x * cfg.tile_w)
+    img = img[:, :height, :width]
+    ft = tile_t.reshape(tiles_y, tiles_x, cfg.tile_h, cfg.tile_w)
+    ft = ft.transpose(0, 2, 1, 3).reshape(tiles_y * cfg.tile_h, tiles_x * cfg.tile_w)
+    ft = ft[:height, :width]
+    return RasterOut(image=img, final_t=ft)

@@ -1,0 +1,254 @@
+"""Sharded render + train step over a (data, shard) mesh.
+
+TPU-native parallelization of the reference's single-GPU training loop
+(SURVEY.md §2.4), expressed as ONE ``shard_map``-decorated step:
+
+  forward:
+    - every device projects all Gaussians and bins (tiny, replicated)
+    - image tiles are INTERLEAVED over the ``shard`` axis (tile t belongs to
+      device t % n_shard) — splat density is wildly non-uniform across the
+      screen, and interleaving is what keeps tile-shard load within ~10-20%
+      instead of the 2-3x imbalance of block partitioning
+    - each device composites its tile subset with the custom-VJP kernel, then
+      ``all_gather`` over ``shard`` reassembles the full image (needed anyway:
+      SSIM's 11x11 window crosses tile borders)
+  backward (autodiff through the shard_map):
+    - the all_gather's VJP routes each tile's pixel cotangents back to its
+      owner; per-pair grads flow through the compositing VJP and scatter-add
+      onto Gaussian params
+    - parameter grads are ``psum``'d over ``shard`` (each device holds only
+      its tiles' contribution) and ``pmean``'d over ``data`` (camera batch)
+  optimizer: Adam on replicated params — identical on every device.
+
+Round-1 layout: Gaussian parameters replicated, tiles + cameras sharded.
+The Gaussian-sharded projection + visible-splat all-gather layout (for
+N beyond one chip's memory) is the planned v2 (SURVEY.md §2.4 rows 2-4).
+"""
+
+from __future__ import annotations
+
+import functools
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from gs_tpu.cameras import Camera
+from gs_tpu.config import OptimizationParams, RasterizeConfig
+from gs_tpu.models import densify, optim
+from gs_tpu.models.gaussians import GaussianState
+from gs_tpu.ops import binning, projection
+from gs_tpu.ops.rasterize_tiled import CompositeStatic, composite_tiles
+from gs_tpu.parallel.mesh import DATA_AXIS, SHARD_AXIS
+from gs_tpu.utils import losses, schedules
+
+
+def _tile_grid(height, width, cfg):
+    tiles_x = -(-width // cfg.tile_w)
+    tiles_y = -(-height // cfg.tile_h)
+    return tiles_x, tiles_y
+
+
+def _sharded_render_image(state, camera, bg, st, cfg, active_sh_degree, n_shard,
+                          pair_budget, means2d_offset=None):
+    """Render one camera inside shard_map; returns full [3,H,W] image.
+
+    Runs on every device of the ``shard`` axis: replicated preprocess +
+    binning, sharded compositing, all_gather reassembly.
+    """
+    me = jax.lax.axis_index(SHARD_AXIS)
+    num_tiles = st.tiles_x * st.tiles_y
+    tiles_per_dev = -(-num_tiles // n_shard)
+
+    cov3d = projection.compute_cov3d(state.log_scale, state.quat, 1.0)
+    splats = projection.project_gaussians(state.xyz, cov3d, camera)
+    means2d = splats.means2d
+    if means2d_offset is not None:
+        means2d = means2d + means2d_offset
+    radii = jnp.where(state.alive, splats.radii, 0)
+    opac = jnp.where(state.alive[:, None], state.opacity, 0.0)[:, 0]
+    colors = projection.sh_colors(state.xyz, state.features, camera.cam_pos,
+                                  active_sh_degree)
+
+    b = binning.bin_gaussians(
+        means2d, splats.depths, radii, st.tiles_x, st.tiles_y, st.tile_w, st.tile_h,
+        pair_budget,
+    )
+    g = b.pair_gauss
+    valid_pair = b.pair_tile < num_tiles
+    s = st.chunk
+    sp_mean = jnp.concatenate([means2d[g], jnp.zeros((s, 2), jnp.float32)])
+    sp_conic = jnp.concatenate([splats.conics[g], jnp.zeros((s, 3), jnp.float32)])
+    sp_color = jnp.concatenate([colors[g], jnp.zeros((s, 3), jnp.float32)])
+    sp_opac = jnp.concatenate(
+        [jnp.where(valid_pair, opac[g], 0.0), jnp.zeros((s,), jnp.float32)]
+    )
+
+    # interleaved tile ownership: tile ids me, me+n_shard, ... (padded w/ empty)
+    local_ranks = jnp.arange(tiles_per_dev, dtype=jnp.int32)
+    my_tiles = me + local_ranks * n_shard
+    in_range = my_tiles < num_tiles
+    my_tiles_safe = jnp.minimum(my_tiles, num_tiles - 1)
+    starts = jnp.where(in_range, b.tile_offsets[my_tiles_safe], 0)
+    ends = jnp.where(in_range, b.tile_offsets[my_tiles_safe + 1], 0)
+
+    tile_color, tile_t, _ = composite_tiles(
+        st, sp_mean, sp_conic, sp_color, sp_opac, my_tiles_safe, starts, ends
+    )
+    tile_color = tile_color + tile_t[..., None] * bg[None, None, :]
+
+    # reassemble: gather everyone's tile shard, undo the interleave
+    all_tiles = jax.lax.all_gather(tile_color, SHARD_AXIS, axis=0, tiled=False)
+    # all_tiles [n_shard, tiles_per_dev, P, 3]; tile id (d, r) = d + r*n_shard
+    full = jnp.swapaxes(all_tiles, 0, 1).reshape(
+        tiles_per_dev * n_shard, tile_color.shape[1], 3
+    )[:num_tiles]
+    img = full.reshape(st.tiles_y, st.tiles_x, st.tile_h, st.tile_w, 3)
+    img = img.transpose(4, 0, 2, 1, 3).reshape(
+        3, st.tiles_y * st.tile_h, st.tiles_x * st.tile_w
+    )
+    return img[:, : camera.height, : camera.width], radii
+
+
+def make_sharded_train_step(
+    mesh,
+    opt_cfg: OptimizationParams,
+    raster_cfg: RasterizeConfig,
+    height: int,
+    width: int,
+    capacity: int,
+    active_sh_degree: int,
+    pair_budget: int | None = None,
+):
+    """Build the jitted multi-device train step.
+
+    Inputs: replicated (state, adam, stats), camera batch sharded over
+    ``data`` (leading axis = mesh data size), replicated bg/iteration.
+    Outputs: replicated updated (state, adam, stats) + scalar metrics.
+    """
+    n_data, n_shard = mesh.shape[DATA_AXIS], mesh.shape[SHARD_AXIS]
+    tiles_x, tiles_y = _tile_grid(height, width, raster_cfg)
+    if pair_budget is None:
+        pair_budget = max(
+            int(raster_cfg.pair_budget_factor * capacity), raster_cfg.min_pair_budget
+        )
+    pair_budget = -(-pair_budget // raster_cfg.chunk) * raster_cfg.chunk
+    st = CompositeStatic(
+        tiles_x=tiles_x, tiles_y=tiles_y, tile_w=raster_cfg.tile_w,
+        tile_h=raster_cfg.tile_h, chunk=raster_cfg.chunk,
+        tile_batch=getattr(raster_cfg, "tile_batch", 256),
+        backend=raster_cfg.backend if raster_cfg.backend != "auto" else "xla",
+    )
+
+    def _local_step(state, adam, stats, cam_batch, bg, iteration, spatial_lr_scale):
+        # my camera: this device's slice of the data axis has batch 1
+        cam = jax.tree.map(
+            lambda x: x[0] if hasattr(x, "ndim") and x.ndim > 0 else x, cam_batch
+        )
+        params = state.params()
+        offset0 = jnp.zeros((capacity, 2), jnp.float32)
+
+        def loss_fn(p, offset):
+            s = state.with_params(p)
+            img, radii = _sharded_render_image(
+                s, cam, bg, st, raster_cfg, active_sh_degree, n_shard, pair_budget,
+                means2d_offset=offset,
+            )
+            return losses.photometric_loss(img, cam.image, opt_cfg.lambda_dssim), radii
+
+        (loss, radii), (g_params, g_offset) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, offset0)
+
+        # reduce tile-shard contributions. NOTE the loss is computed
+        # redundantly on every shard device from the all_gathered image, so
+        # each tile's pixel cotangent arrives n_shard times through the
+        # all_gather VJP (psum_scatter of identical cotangents) — pmean, not
+        # psum, recovers the single-device gradient. Then average over the
+        # camera batch.
+        g_params = jax.lax.pmean(
+            jax.lax.pmean(g_params, SHARD_AXIS), DATA_AXIS
+        )
+        # per-camera screen-space gradient (reduced over tile shards only):
+        # densify stats accumulate each camera's own gradient norm, like the
+        # reference's per-iteration add_densification_stats
+        g_offset_cam = jax.lax.pmean(g_offset, SHARD_AXIS)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+
+        xyz_lr = schedules.expon_lr(
+            iteration,
+            lr_init=opt_cfg.position_lr_init,
+            lr_final=opt_cfg.position_lr_final,
+            lr_delay_mult=opt_cfg.position_lr_delay_mult,
+            max_steps=opt_cfg.position_lr_max_steps,
+        ) * spatial_lr_scale
+        new_params, new_adam = optim.update(
+            params, g_params, adam, optim.group_lrs(opt_cfg, xyz_lr)
+        )
+
+        # densify stats: sum each camera's contribution over the data axis so
+        # the replicated-output contract holds (one batch = n_data reference
+        # iterations' worth of stats)
+        vis = radii > 0
+        g_ndc = g_offset_cam * jnp.array([0.5 * width, 0.5 * height], jnp.float32)
+        d_accum = jax.lax.psum(
+            jnp.where(vis, jnp.linalg.norm(g_ndc, axis=-1), 0.0), DATA_AXIS
+        )
+        d_denom = jax.lax.psum(vis.astype(jnp.float32), DATA_AXIS)
+        r_max = jax.lax.pmax(
+            jnp.where(vis, radii.astype(jnp.float32), 0.0), DATA_AXIS
+        )
+        stats = densify.DensifyStats(
+            xyz_grad_accum=stats.xyz_grad_accum + d_accum,
+            denom=stats.denom + d_denom,
+            max_radii2d=jnp.maximum(stats.max_radii2d, r_max),
+        )
+        return state.with_params(new_params), new_adam, stats, loss
+
+    smapped = jax.shard_map(
+        _local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(DATA_AXIS), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(smapped)
+
+
+def make_sharded_render(
+    mesh,
+    raster_cfg: RasterizeConfig,
+    height: int,
+    width: int,
+    capacity: int,
+    active_sh_degree: int,
+    pair_budget: int | None = None,
+):
+    """Inference-only sharded render of one camera (replicated in/out)."""
+    n_shard = mesh.shape[SHARD_AXIS]
+    tiles_x, tiles_y = _tile_grid(height, width, raster_cfg)
+    if pair_budget is None:
+        pair_budget = max(
+            int(raster_cfg.pair_budget_factor * capacity), raster_cfg.min_pair_budget
+        )
+    pair_budget = -(-pair_budget // raster_cfg.chunk) * raster_cfg.chunk
+    st = CompositeStatic(
+        tiles_x=tiles_x, tiles_y=tiles_y, tile_w=raster_cfg.tile_w,
+        tile_h=raster_cfg.tile_h, chunk=raster_cfg.chunk,
+        tile_batch=getattr(raster_cfg, "tile_batch", 256),
+        backend=raster_cfg.backend if raster_cfg.backend != "auto" else "xla",
+    )
+
+    def _render(state, camera, bg):
+        img, _ = _sharded_render_image(
+            state, camera, bg, st, raster_cfg, active_sh_degree, n_shard, pair_budget
+        )
+        return img
+
+    smapped = jax.shard_map(
+        _render, mesh=mesh, in_specs=(P(), P(), P()), out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(smapped)

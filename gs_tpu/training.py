@@ -1,0 +1,315 @@
+"""Training: the jitted step + the outer optimization loop.
+
+Rebuild of the reference training driver (``train.py:31-146``) with the whole
+per-iteration computation — render, loss, backward, Adam, densify-stat
+accumulation — fused into ONE jitted function per (sh_degree, capacity)
+combination. The Python loop only orchestrates: camera sampling, the densify
+/ opacity-reset / save schedule, logging, and capacity growth (which retraces,
+boundedly, on occupancy watermarks).
+
+Schedule parity (train.py):
+  - loss = 0.8 L1 + 0.2 (1-SSIM)                       (:103-104)
+  - xyz lr log-lerp schedule per step                   (:80; gaussian_model.py:207-213)
+  - SH degree +1 every 1000 iters up to max             (:82-83)
+  - densify every 100 iters in [500, 15000], grad threshold 2e-4,
+    min opacity 0.005, size pruning only after the first opacity reset
+                                                        (:125-133)
+  - opacity reset every 3000 iters (+ at densify start on white bg)
+                                                        (:135-136)
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gs_tpu.cameras import Camera
+from gs_tpu.config import OptimizationParams, PipelineParams, RasterizeConfig
+from gs_tpu.models import densify, gaussians, optim
+from gs_tpu.models.gaussians import GaussianState
+from gs_tpu.renderer import render
+from gs_tpu.utils import losses, schedules
+
+GROW_WATERMARK = 0.9  # grow capacity when alive exceeds this fraction
+GROW_FACTOR = 2.0
+
+
+@dataclass
+class TrainState:
+    """Everything that evolves during training (a host-side container)."""
+
+    state: GaussianState
+    adam: optim.AdamState
+    stats: densify.DensifyStats
+    iteration: int = 0
+    spatial_lr_scale: float = 1.0
+    max_sh_degree: int = 0
+
+    @property
+    def active_sh_degree(self) -> int:
+        # oneupSHdegree schedule (train.py:82-83)
+        return min(self.iteration // 1000, self.max_sh_degree)
+
+
+def init_train_state(
+    state: GaussianState, spatial_lr_scale: float, max_sh_degree: int
+) -> TrainState:
+    return TrainState(
+        state=state,
+        adam=optim.init(state.params()),
+        stats=densify.DensifyStats.zeros(state.capacity),
+        spatial_lr_scale=spatial_lr_scale,
+        max_sh_degree=max_sh_degree,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("active_sh_degree", "opt_cfg", "raster_cfg", "accumulate_stats"),
+)
+def train_step(
+    state: GaussianState,
+    adam: optim.AdamState,
+    stats: densify.DensifyStats,
+    camera: Camera,
+    bg: jnp.ndarray,
+    iteration: jnp.ndarray,
+    spatial_lr_scale: jnp.ndarray,
+    *,
+    active_sh_degree: int,
+    opt_cfg: OptimizationParams,
+    raster_cfg: RasterizeConfig,
+    accumulate_stats: bool,
+):
+    """One fused optimization step. Returns (state, adam, stats, metrics)."""
+    params = state.params()
+    offset0 = jnp.zeros((state.capacity, 2), jnp.float32)
+
+    def loss_fn(params, offset):
+        st = state.with_params(params)
+        out = render(
+            camera,
+            st,
+            active_sh_degree=active_sh_degree,
+            bg_color=bg,
+            means2d_offset=offset,
+            cfg=raster_cfg,
+        )
+        loss = losses.photometric_loss(out.image, camera.image, opt_cfg.lambda_dssim)
+        return loss, out
+
+    (loss, out), (g_params, g_offset) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(params, offset0)
+
+    xyz_lr = schedules.expon_lr(
+        iteration,
+        lr_init=opt_cfg.position_lr_init,
+        lr_final=opt_cfg.position_lr_final,
+        lr_delay_mult=opt_cfg.position_lr_delay_mult,
+        max_steps=opt_cfg.position_lr_max_steps,
+    ) * spatial_lr_scale
+    lrs = optim.group_lrs(opt_cfg, xyz_lr)
+    new_params, new_adam = optim.update(params, g_params, adam, lrs)
+    new_state = state.with_params(new_params)
+
+    if accumulate_stats:
+        stats = densify.add_stats(
+            stats, g_offset, out.radii, out.visibility, camera.width, camera.height
+        )
+
+    metrics = {
+        "loss": loss,
+        "n_visible": jnp.sum(out.visibility.astype(jnp.int32)),
+        "xyz_lr": xyz_lr,
+    }
+    return new_state, new_adam, stats, metrics
+
+
+@partial(jax.jit, static_argnames=("active_sh_degree", "raster_cfg"))
+def eval_render(state, camera, bg, *, active_sh_degree, raster_cfg):
+    out = render(camera, state, active_sh_degree=active_sh_degree, bg_color=bg,
+                 cfg=raster_cfg)
+    return jnp.clip(out.image, 0.0, 1.0)
+
+
+def maybe_grow(ts: TrainState) -> TrainState:
+    """Grow capacity (outside jit; one retrace) at the occupancy watermark."""
+    alive = int(ts.state.num_alive)
+    if alive <= GROW_WATERMARK * ts.state.capacity:
+        return ts
+    new_cap = gaussians.round_capacity(int(ts.state.capacity * GROW_FACTOR))
+    ts.state = gaussians.grow_capacity(ts.state, new_cap)
+    ts.adam = optim.grow(ts.adam, new_cap)
+    pad = new_cap - ts.stats.xyz_grad_accum.shape[0]
+    ts.stats = densify.DensifyStats(
+        *(jnp.concatenate([s, jnp.zeros((pad,), s.dtype)]) for s in ts.stats)
+    )
+    return ts
+
+
+def run_training(
+    scene,
+    opt_cfg: OptimizationParams,
+    pipe: PipelineParams,
+    raster_cfg: RasterizeConfig | None = None,
+    white_background: bool = False,
+    test_iterations: tuple[int, ...] = (7000, 30000),
+    save_iterations: tuple[int, ...] = (7000, 30000),
+    checkpoint_iterations: tuple[int, ...] = (),
+    start_checkpoint: str | None = None,
+    log_every: int = 10,
+    progress: Callable[[int, dict], None] | None = None,
+    seed: int = 0,
+    gui_server=None,
+):
+    """The full optimization loop (``training``, train.py:31-146)."""
+    from gs_tpu.utils import ckpt as ckpt_mod
+    from gs_tpu.utils import metrics as metrics_mod
+
+    if raster_cfg is None:
+        raster_cfg = RasterizeConfig(backend="xla")
+    random.seed(seed)
+    np.random.seed(seed)
+
+    ts = init_train_state(
+        scene.gaussians, scene.cameras_extent, scene.gaussians.max_sh_degree
+    )
+    first_iter = 0
+    if start_checkpoint:
+        ts = ckpt_mod.load_train_state(start_checkpoint)
+        first_iter = ts.iteration
+        print(f"Restored checkpoint at iteration {first_iter}")
+
+    bg_fixed = jnp.asarray(
+        [1.0, 1.0, 1.0] if white_background else [0.0, 0.0, 0.0], jnp.float32
+    )
+
+    viewpoint_stack: list = []
+    key = jax.random.PRNGKey(seed)
+    ema_loss = 0.0
+    t_start = time.time()
+
+    for iteration in range(first_iter + 1, opt_cfg.iterations + 1):
+        ts.iteration = iteration
+        if gui_server is not None:
+            gui_server.poll(ts, raster_cfg)
+
+        if not viewpoint_stack:
+            viewpoint_stack = list(scene.get_train_cameras())
+        cam = viewpoint_stack.pop(random.randint(0, len(viewpoint_stack) - 1))
+
+        if opt_cfg.random_background:
+            key, sub = jax.random.split(key)
+            bg = jax.random.uniform(sub, (3,), jnp.float32)
+        else:
+            bg = bg_fixed
+
+        in_densify_phase = iteration < opt_cfg.densify_until_iter
+        ts.state, ts.adam, ts.stats, m = train_step(
+            ts.state, ts.adam, ts.stats, cam, bg,
+            jnp.int32(iteration - 1),
+            jnp.float32(ts.spatial_lr_scale),
+            active_sh_degree=ts.active_sh_degree,
+            opt_cfg=opt_cfg,
+            raster_cfg=raster_cfg,
+            accumulate_stats=in_densify_phase,
+        )
+
+        loss = float(m["loss"])
+        ema_loss = 0.4 * loss + 0.6 * ema_loss if iteration > first_iter + 1 else loss
+        if progress is not None and iteration % log_every == 0:
+            progress(iteration, {"ema_loss": ema_loss, **{k: float(v) for k, v in m.items()}})
+
+        # --- densification schedule (train.py:125-136) ----------------------
+        if in_densify_phase:
+            if (
+                iteration > opt_cfg.densify_from_iter
+                and iteration % opt_cfg.densification_interval == 0
+            ):
+                ts = maybe_grow(ts)
+                key, sub = jax.random.split(key)
+                use_size_prune = iteration > opt_cfg.opacity_reset_interval
+                ts.state, ts.adam, ts.stats, rep = densify_step(
+                    ts, sub, opt_cfg, use_size_prune
+                )
+                if int(rep.n_dropped) > 0:
+                    print(
+                        f"[iter {iteration}] capacity overflow: dropped "
+                        f"{int(rep.n_dropped)} children; growing next round"
+                    )
+            if iteration % opt_cfg.opacity_reset_interval == 0 or (
+                white_background and iteration == opt_cfg.densify_from_iter
+            ):
+                ts.state, ts.adam = reset_opacity_step(ts.state, ts.adam)
+
+        # --- reporting / persistence ---------------------------------------
+        if iteration in test_iterations:
+            evaluate_and_report(scene, ts, bg_fixed, raster_cfg, iteration,
+                                metrics_mod)
+        if iteration in save_iterations:
+            print(f"\n[ITER {iteration}] Saving Gaussians")
+            scene.save(iteration, ts.state)
+        if iteration in checkpoint_iterations:
+            print(f"\n[ITER {iteration}] Saving Checkpoint")
+            ckpt_mod.save_train_state(
+                f"{scene.model_path}/chkpnt{iteration}.npz", ts
+            )
+
+    return ts
+
+
+@partial(jax.jit, static_argnames=("opt_cfg", "use_size_prune"))
+def _densify_jit(state, adam, stats, key, extent, opt_cfg, use_size_prune):
+    return densify.densify_and_prune(
+        state, adam, stats, key,
+        max_grad=opt_cfg.densify_grad_threshold,
+        min_opacity=0.005,  # train.py:133
+        extent=extent,
+        percent_dense=opt_cfg.percent_dense,
+        use_size_prune=use_size_prune,
+    )
+
+
+def densify_step(ts: TrainState, key, opt_cfg, use_size_prune):
+    return _densify_jit(
+        ts.state, ts.adam, ts.stats, key,
+        jnp.float32(ts.spatial_lr_scale), opt_cfg, use_size_prune
+    )
+
+
+@jax.jit
+def reset_opacity_step(state, adam):
+    return densify.reset_opacity(state, adam)
+
+
+def evaluate_and_report(scene, ts, bg, raster_cfg, iteration, metrics_mod):
+    """In-training eval (``training_report``, train.py:173-260)."""
+    train_cams = scene.get_train_cameras()
+    configs = [
+        ("test", scene.get_test_cameras()),
+        ("train", [train_cams[idx % len(train_cams)] for idx in range(5, 30, 5)]),
+    ]
+    for name, cams in configs:
+        if not cams:
+            continue
+        l1s, psnrs = [], []
+        for cam in cams:
+            img = eval_render(ts.state, cam, bg,
+                              active_sh_degree=ts.active_sh_degree,
+                              raster_cfg=raster_cfg)
+            gt = jnp.clip(cam.image, 0.0, 1.0)
+            l1s.append(float(losses.l1_loss(img, gt)))
+            psnrs.append(float(metrics_mod.psnr(img, gt)[0, 0]))
+        print(
+            f"\n[ITER {iteration}] Evaluating {name}: "
+            f"L1 {np.mean(l1s):.5f} PSNR {np.mean(psnrs):.2f}"
+        )

@@ -1,0 +1,179 @@
+"""Density control semantics + training smoke + checkpoint roundtrip."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gs_tpu import cameras
+from gs_tpu.config import OptimizationParams, RasterizeConfig
+from gs_tpu.models import densify, gaussians, optim
+from gs_tpu.models.densify import DensifyStats
+
+
+def _state(n=16, cap=32, seed=0, scale=0.01):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    st = gaussians.create_from_pcd(pts, cols, max_sh_degree=1, capacity=cap)
+    return st.replace(log_scale=jnp.full_like(st.log_scale, math.log(scale)))
+
+
+def _run_densify(st, adam, stats, **kw):
+    args = dict(max_grad=2e-4, min_opacity=0.005, extent=10.0,
+                percent_dense=0.01, use_size_prune=False)
+    args.update(kw)
+    return densify.densify_and_prune(
+        st, adam, stats, jax.random.PRNGKey(0), **args
+    )
+
+
+class TestDensify:
+    def test_clone_small_high_grad(self):
+        st = _state(scale=0.01)  # small: 0.01 <= 0.01*extent(10)=0.1
+        adam = optim.init(st.params())
+        stats = DensifyStats(
+            xyz_grad_accum=jnp.where(jnp.arange(32) < 4, 1.0, 0.0),
+            denom=jnp.ones(32), max_radii2d=jnp.zeros(32),
+        )
+        new, nadam, nstats, rep = _run_densify(st, adam, stats)
+        assert int(rep.n_cloned) == 4
+        assert int(rep.n_split) == 0
+        assert int(new.num_alive) == 20  # 16 + 4 clones
+        # clones are exact copies placed in free slots
+        assert int(rep.n_dropped) == 0
+        # stats reset (postfix parity)
+        assert float(nstats.xyz_grad_accum.sum()) == 0.0
+
+    def test_split_large_high_grad(self):
+        st = _state(scale=0.5)  # large: 0.5 > 0.1
+        adam = optim.init(st.params())
+        stats = DensifyStats(
+            xyz_grad_accum=jnp.where(jnp.arange(32) < 3, 1.0, 0.0),
+            denom=jnp.ones(32), max_radii2d=jnp.zeros(32),
+        )
+        new, _, _, rep = _run_densify(st, adam, stats)
+        assert int(rep.n_split) == 3
+        # 16 - 3 originals + 6 children
+        assert int(new.num_alive) == 19
+        # children scale shrunk by 1/1.6
+        alive_scales = np.exp(np.asarray(new.log_scale)[np.asarray(new.alive)])
+        n_shrunk = int((np.abs(alive_scales - 0.5 / 1.6) < 1e-4).all(-1).sum())
+        assert n_shrunk == 6
+
+    def test_prune_low_opacity(self):
+        st = _state()
+        low = jnp.arange(32) < 5
+        st = st.replace(
+            logit_opacity=jnp.where(low[:, None], -10.0, st.logit_opacity)
+        )
+        adam = optim.init(st.params())
+        stats = DensifyStats.zeros(32)
+        new, nadam, _, rep = _run_densify(st, adam, stats)
+        assert int(rep.n_pruned) == 5
+        assert int(new.num_alive) == 11
+
+    def test_world_size_prune_only_with_flag(self):
+        st = _state(scale=2.0)  # 2.0 > 0.1*10 -> prunable when flag on
+        adam = optim.init(st.params())
+        stats = DensifyStats.zeros(32)
+        keep, _, _, rep0 = _run_densify(st, adam, stats, use_size_prune=False)
+        assert int(keep.num_alive) == 16
+        gone, _, _, rep1 = _run_densify(st, adam, stats, use_size_prune=True)
+        assert int(gone.num_alive) == 0
+
+    def test_capacity_overflow_drops_and_reports(self):
+        st = _state(n=30, cap=32, scale=0.01)
+        adam = optim.init(st.params())
+        stats = DensifyStats(
+            xyz_grad_accum=jnp.ones(32), denom=jnp.ones(32),
+            max_radii2d=jnp.zeros(32),
+        )  # all 30 want to clone; only 2 free slots
+        new, _, _, rep = _run_densify(st, adam, stats)
+        assert int(rep.n_dropped) == 28
+        assert int(new.num_alive) == 32  # full
+
+    def test_adam_surgery_on_new_slots(self):
+        st = _state(scale=0.01)
+        params = st.params()
+        adam = optim.init(params)
+        # fake nonzero moments everywhere
+        adam = optim.AdamState(
+            mu={k: jnp.ones_like(v) for k, v in params.items()},
+            nu={k: jnp.ones_like(v) for k, v in params.items()},
+            step=adam.step,
+        )
+        stats = DensifyStats(
+            xyz_grad_accum=jnp.where(jnp.arange(32) < 2, 1.0, 0.0),
+            denom=jnp.ones(32), max_radii2d=jnp.zeros(32),
+        )
+        new, nadam, _, rep = _run_densify(st, adam, stats)
+        alive = np.asarray(new.alive)
+        mu = np.asarray(nadam.mu["xyz"])
+        # new clone slots (16..17) must have zero moments; old alive keep theirs
+        assert mu[16:18].sum() == 0.0
+        assert mu[:16].sum() > 0
+
+    def test_opacity_reset(self):
+        st = _state()
+        adam = optim.init(st.params())
+        _, adam = optim_update_once(st, adam)
+        new, nadam = densify.reset_opacity(st, adam)
+        op = np.asarray(new.opacity)[np.asarray(new.alive)]
+        assert (op <= 0.01 + 1e-6).all()
+        assert float(jnp.abs(nadam.mu["opacity"]).sum()) == 0.0
+        assert float(jnp.abs(nadam.mu["xyz"]).sum()) > 0.0
+
+
+def optim_update_once(st, adam):
+    params = st.params()
+    grads = {k: jnp.ones_like(v) for k, v in params.items()}
+    lrs = {k: jnp.float32(0.01) for k in params}
+    return optim.update(params, grads, adam, lrs)
+
+
+class TestTrainSmoke:
+    def test_loss_decreases(self):
+        from gs_tpu.training import init_train_state, train_step
+
+        rng = np.random.default_rng(0)
+        n = 64
+        pts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+        cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        st = gaussians.create_from_pcd(pts, cols, max_sh_degree=0, capacity=64)
+        cam = cameras.make_camera(
+            np.eye(3), np.array([0.0, 0, 4.0]), fovx=math.radians(60),
+            fovy=math.radians(60), width=32, height=32,
+            image=rng.uniform(0, 1, (3, 32, 32)).astype(np.float32),
+        )
+        ts = init_train_state(st, spatial_lr_scale=2.0, max_sh_degree=0)
+        opt_cfg = OptimizationParams()
+        rcfg = RasterizeConfig(backend="xla", chunk=32)
+        losses = []
+        for it in range(12):
+            ts.state, ts.adam, ts.stats, m = train_step(
+                ts.state, ts.adam, ts.stats, cam, jnp.zeros(3), jnp.int32(it),
+                jnp.float32(2.0), active_sh_degree=0, opt_cfg=opt_cfg,
+                raster_cfg=rcfg, accumulate_stats=True,
+            )
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+        assert float(ts.stats.denom.max()) > 0  # stats accumulated
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        from gs_tpu.training import init_train_state
+        from gs_tpu.utils import ckpt
+
+        st = _state()
+        ts = init_train_state(st, spatial_lr_scale=3.0, max_sh_degree=1)
+        ts.iteration = 123
+        path = str(tmp_path / "ck.npz")
+        ckpt.save_train_state(path, ts)
+        ts2 = ckpt.load_train_state(path)
+        assert ts2.iteration == 123
+        assert ts2.spatial_lr_scale == 3.0
+        np.testing.assert_array_equal(ts2.state.xyz, ts.state.xyz)
+        np.testing.assert_array_equal(ts2.state.alive, ts.state.alive)
+        np.testing.assert_array_equal(ts2.adam.mu["xyz"], ts.adam.mu["xyz"])

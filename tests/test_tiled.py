@@ -1,0 +1,103 @@
+"""Fast tiled rasterizer (XLA backend) vs the oracle: forward + custom VJP."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gs_tpu.config import RasterizeConfig
+from gs_tpu.ops import binning
+from gs_tpu.ops.rasterize_oracle import rasterize_oracle
+from gs_tpu.ops.rasterize_tiled import rasterize_tiled
+from tests.reference_raster import random_scene
+
+CFG = RasterizeConfig(tile_w=16, tile_h=16, chunk=32, backend="xla")
+
+
+class TestBinning:
+    def test_pairs_cover_tile_rects(self):
+        args = random_scene(jax.random.PRNGKey(0), 50, 64, 96)
+        means2d, _, _, _, depths, radii = args
+        tx, ty, tw, th = 6, 4, 16, 16
+        b = binning.bin_gaussians(means2d, depths, radii, tx, ty, tw, th, 4096)
+        x0, y0, x1, y1 = binning.tile_rect(means2d, radii, tx, ty, tw, th)
+        expected = int(jnp.sum((x1 - x0) * (y1 - y0)))
+        assert int(b.num_pairs) == expected
+        # every tile's range holds pairs whose rect covers that tile, in depth order
+        off = np.asarray(b.tile_offsets)
+        pg = np.asarray(b.pair_gauss)
+        d = np.asarray(depths)
+        for t in range(tx * ty):
+            idx = pg[off[t]:off[t + 1]]
+            tile_x, tile_y = t % tx, t // tx
+            assert np.all(np.asarray(x0)[idx] <= tile_x)
+            assert np.all(np.asarray(x1)[idx] > tile_x)
+            assert np.all(np.asarray(y0)[idx] <= tile_y)
+            assert np.all(np.asarray(y1)[idx] > tile_y)
+            assert np.all(np.diff(d[idx]) >= 0)  # depth-sorted within tile
+
+    def test_budget_sentinel_padding(self):
+        args = random_scene(jax.random.PRNGKey(1), 10, 32, 32)
+        means2d, _, _, _, depths, radii = args
+        b = binning.bin_gaussians(means2d, depths, radii, 2, 2, 16, 16, 1024)
+        npairs = int(b.num_pairs)
+        assert np.all(np.asarray(b.pair_tile)[npairs:] == 4)  # sentinel
+        assert int(b.tile_offsets[-1]) == npairs
+
+
+class TestTiledVsOracle:
+    @pytest.mark.parametrize("seed,n,h,w", [(0, 128, 48, 48), (1, 512, 64, 80)])
+    def test_forward(self, seed, n, h, w):
+        args = random_scene(jax.random.PRNGKey(seed), n, h, w)
+        bg = jnp.array([0.2, 0.4, 0.6])
+        img_o, t_o = rasterize_oracle(*args, h, w, bg, tile_w=16, tile_h=16)
+        out = rasterize_tiled(*args, h, w, bg, CFG)
+        np.testing.assert_allclose(out.image, img_o, rtol=1e-3, atol=2e-4)
+        np.testing.assert_allclose(out.final_t, t_o, rtol=1e-3, atol=2e-4)
+
+    def test_gradients(self):
+        h, w, n = 48, 48, 192
+        args = random_scene(jax.random.PRNGKey(2), n, h, w)
+        means2d, conics, colors, opac, depths, radii = args
+        bg = jnp.array([0.1, 0.1, 0.1])
+        target = jax.random.uniform(jax.random.PRNGKey(3), (3, h, w))
+
+        def loss_fn(raster_fn):
+            def f(m, c, col, o):
+                out = raster_fn(m, c, col, o)
+                return jnp.mean((out - target) ** 2)
+            return f
+
+        def oracle_raster(m, c, col, o):
+            return rasterize_oracle(m, c, col, o, depths, radii, h, w, bg).image
+
+        def tiled_raster(m, c, col, o):
+            return rasterize_tiled(m, c, col, o, depths, radii, h, w, bg, CFG).image
+
+        go = jax.grad(loss_fn(oracle_raster), argnums=(0, 1, 2, 3))(
+            means2d, conics, colors, opac
+        )
+        gt = jax.grad(loss_fn(tiled_raster), argnums=(0, 1, 2, 3))(
+            means2d, conics, colors, opac
+        )
+        for a, b, name in zip(go, gt, ["means2d", "conics", "colors", "opacity"]):
+            scale = np.maximum(np.abs(np.asarray(a)).max(), 1e-3)
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-3 * scale,
+                err_msg=name,
+            )
+
+    def test_final_t_gradient_path(self):
+        # gradient must flow through final_t into bg compositing
+        h = w = 32
+        args = random_scene(jax.random.PRNGKey(4), 64, h, w)
+        means2d, conics, colors, opac, depths, radii = args
+
+        def f(o, bg):
+            out = rasterize_tiled(means2d, conics, colors, o, depths, radii, h, w, bg, CFG)
+            return jnp.sum(out.image)
+
+        g_opac, g_bg = jax.grad(f, argnums=(0, 1))(opac, jnp.ones(3) * 0.5)
+        assert bool(jnp.all(jnp.isfinite(g_opac)))
+        assert float(jnp.abs(g_opac).sum()) > 0
+        assert bool(jnp.all(g_bg > 0))  # bg visible somewhere
