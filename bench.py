@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import time
 
 import jax
@@ -24,6 +25,7 @@ import numpy as np
 H, W = 1080, 1920
 N_GAUSS = 262_144
 BASELINE_PIX_PER_S = 30 * 1920 * 1080  # reference: >=30fps @1080p fwd-only
+BACKEND = os.environ.get("GS_TPU_BENCH_BACKEND", "auto")
 
 
 def main():
@@ -48,7 +50,7 @@ def main():
         fovx=math.radians(70), fovy=math.radians(46), width=W, height=H,
     )
     target = jnp.zeros((3, H, W), jnp.float32)
-    cfg = RasterizeConfig(backend="xla", chunk=128, tile_w=16, tile_h=16)
+    cfg = RasterizeConfig(backend=BACKEND, chunk=128, tile_w=16, tile_h=16)
 
     @jax.jit
     def fwd_bwd(state):

@@ -1,0 +1,101 @@
+"""Training CLI — parity with the reference ``train.py:295-327`` flag set.
+
+Usage: ``python train.py -s <dataset> [-m <model_dir>] [--eval] ...``
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import uuid
+from argparse import ArgumentParser
+
+from gs_tpu.cli import args as args_mod
+from gs_tpu.config import (ModelParams, OptimizationParams, PipelineParams,
+                           RasterizeConfig)
+
+
+def prepare_output(model_params: ModelParams) -> str:
+    """Model dir + cfg_args dump (``prepare_output_and_logger``, train.py:148-168)."""
+    if not model_params.model_path:
+        unique = os.getenv("OAR_JOB_ID", str(uuid.uuid4()))
+        model_params.model_path = os.path.join("./output/", unique[0:10])
+    print("Output folder:", model_params.model_path)
+    args_mod.save_cfg_args(model_params.model_path, model_params)
+    return model_params.model_path
+
+
+def main(argv=None):
+    parser = ArgumentParser(description="Training script parameters")
+    args_mod.add_group(parser, ModelParams, "Model Parameters")
+    args_mod.add_group(parser, OptimizationParams, "Optimization Parameters")
+    args_mod.add_group(parser, PipelineParams, "Pipeline Parameters")
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=6009)
+    parser.add_argument("--debug_from", type=int, default=-1)
+    parser.add_argument("--detect_anomaly", action="store_true", default=False)
+    parser.add_argument("--test_iterations", nargs="+", type=int,
+                        default=[7_000, 30_000])
+    parser.add_argument("--save_iterations", nargs="+", type=int,
+                        default=[7_000, 30_000])
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--disable_viewer", action="store_true", default=False)
+    parser.add_argument("--raster_backend", type=str, default="auto",
+                        choices=["auto", "pallas", "xla", "oracle"])
+    args = parser.parse_args(sys.argv[1:] if argv is None else argv)
+    args.save_iterations.append(args.iterations)
+
+    print("Optimizing " + (args.model_path or "<auto>"))
+
+    if args.detect_anomaly:
+        import jax
+        jax.config.update("jax_debug_nans", True)  # the TPU-side anomaly mode
+
+    from gs_tpu.scene import Scene
+    from gs_tpu.training import run_training
+
+    model = args_mod.extract(ModelParams, args)
+    opt = args_mod.extract(OptimizationParams, args)
+    pipe = args_mod.extract(PipelineParams, args)
+    prepare_output(model)
+    args.model_path = model.model_path
+
+    gui_server = None
+    if not args.disable_viewer:
+        try:
+            from gs_tpu.viewer.network_gui import GuiServer
+            gui_server = GuiServer(args.ip, args.port, model.source_path)
+        except OSError as e:
+            print(f"Viewer server disabled ({e})")
+
+    scene = Scene(model)
+    test_iters = [] if args.test_iterations == [-1] else args.test_iterations
+
+    def progress(it, m):
+        if not args.quiet:
+            print(f"[{it:6d}] loss {m['ema_loss']:.5f}  "
+                  f"visible {int(m.get('n_visible', 0))}", flush=True)
+
+    raster_cfg = RasterizeConfig(backend=args.raster_backend)
+    run_training(
+        scene,
+        opt,
+        pipe,
+        raster_cfg=raster_cfg,
+        white_background=model.white_background,
+        test_iterations=tuple(test_iters),
+        save_iterations=tuple(args.save_iterations),
+        checkpoint_iterations=tuple(args.checkpoint_iterations),
+        start_checkpoint=args.start_checkpoint,
+        progress=progress,
+        gui_server=gui_server,
+    )
+    if gui_server is not None:
+        gui_server.close()
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main()

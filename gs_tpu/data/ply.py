@@ -177,8 +177,11 @@ def load_gaussian_ply(path: str):
     n_rest = len(rest_names)
     k1 = n_rest // 3
     max_deg = int(round((k1 + 1) ** 0.5)) - 1
-    f_rest = np.stack([v[nm] for nm in rest_names], 1).astype(np.float32)  # [N, 3*(K-1)]
-    f_rest = f_rest.reshape(n, 3, k1).transpose(0, 2, 1)  # -> [N, K-1, 3]
+    if n_rest:  # sh_degree 0 (the fork's default) writes no f_rest_* columns
+        f_rest = np.stack([v[nm] for nm in rest_names], 1).astype(np.float32)
+        f_rest = f_rest.reshape(n, 3, k1).transpose(0, 2, 1)  # -> [N, K-1, 3]
+    else:
+        f_rest = np.zeros((n, 0, 3), np.float32)
     scale_names = sorted(
         (nm for nm in names if nm.startswith("scale_")), key=lambda s: int(s.split("_")[-1])
     )

@@ -40,7 +40,9 @@ from gs_tpu.config import OptimizationParams, RasterizeConfig
 from gs_tpu.models import densify, optim
 from gs_tpu.models.gaussians import GaussianState
 from gs_tpu.ops import binning, projection
-from gs_tpu.ops.rasterize_tiled import CompositeStatic, composite_tiles
+from gs_tpu.ops.rasterize_tiled import (A_OPAC, CompositeStatic,
+                                        composite_tiles, pack_attributes,
+                                        resolve_backend)
 from gs_tpu.parallel.mesh import DATA_AXIS, SHARD_AXIS
 from gs_tpu.utils import losses, schedules
 
@@ -72,30 +74,25 @@ def _sharded_render_image(state, camera, bg, st, cfg, active_sh_degree, n_shard,
     colors = projection.sh_colors(state.xyz, state.features, camera.cam_pos,
                                   active_sh_degree)
 
-    b = binning.bin_gaussians(
+    ab = binning.bin_gaussians_aligned(
         means2d, splats.depths, radii, st.tiles_x, st.tiles_y, st.tile_w, st.tile_h,
-        pair_budget,
+        pair_budget, st.chunk,
     )
-    g = b.pair_gauss
-    valid_pair = b.pair_tile < num_tiles
-    s = st.chunk
-    sp_mean = jnp.concatenate([means2d[g], jnp.zeros((s, 2), jnp.float32)])
-    sp_conic = jnp.concatenate([splats.conics[g], jnp.zeros((s, 3), jnp.float32)])
-    sp_color = jnp.concatenate([colors[g], jnp.zeros((s, 3), jnp.float32)])
-    sp_opac = jnp.concatenate(
-        [jnp.where(valid_pair, opac[g], 0.0), jnp.zeros((s,), jnp.float32)]
-    )
+    # ONE packed gather per pair (autodiff = one scatter-add of pair grads)
+    attr = pack_attributes(means2d, splats.conics, colors, opac)
+    sp_attr = attr[ab.pair_gauss]
+    sp_attr = sp_attr.at[:, A_OPAC].multiply(ab.valid.astype(jnp.float32))
 
     # interleaved tile ownership: tile ids me, me+n_shard, ... (padded w/ empty)
     local_ranks = jnp.arange(tiles_per_dev, dtype=jnp.int32)
     my_tiles = me + local_ranks * n_shard
     in_range = my_tiles < num_tiles
     my_tiles_safe = jnp.minimum(my_tiles, num_tiles - 1)
-    starts = jnp.where(in_range, b.tile_offsets[my_tiles_safe], 0)
-    ends = jnp.where(in_range, b.tile_offsets[my_tiles_safe + 1], 0)
+    starts = jnp.where(in_range, ab.starts[my_tiles_safe], 0)
+    ends = jnp.where(in_range, ab.ends[my_tiles_safe], 0)
 
     tile_color, tile_t, _ = composite_tiles(
-        st, sp_mean, sp_conic, sp_color, sp_opac, my_tiles_safe, starts, ends
+        st, sp_attr, my_tiles_safe, starts, ends
     )
     tile_color = tile_color + tile_t[..., None] * bg[None, None, :]
 
@@ -139,7 +136,7 @@ def make_sharded_train_step(
         tiles_x=tiles_x, tiles_y=tiles_y, tile_w=raster_cfg.tile_w,
         tile_h=raster_cfg.tile_h, chunk=raster_cfg.chunk,
         tile_batch=getattr(raster_cfg, "tile_batch", 256),
-        backend=raster_cfg.backend if raster_cfg.backend != "auto" else "xla",
+        backend=resolve_backend(raster_cfg.backend),
     )
 
     def _local_step(state, adam, stats, cam_batch, bg, iteration, spatial_lr_scale):
@@ -238,7 +235,7 @@ def make_sharded_render(
         tiles_x=tiles_x, tiles_y=tiles_y, tile_w=raster_cfg.tile_w,
         tile_h=raster_cfg.tile_h, chunk=raster_cfg.chunk,
         tile_batch=getattr(raster_cfg, "tile_batch", 256),
-        backend=raster_cfg.backend if raster_cfg.backend != "auto" else "xla",
+        backend=resolve_backend(raster_cfg.backend),
     )
 
     def _render(state, camera, bg):

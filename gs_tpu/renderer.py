@@ -77,8 +77,10 @@ def render(
             state.xyz, state.features, camera.cam_pos, active_sh_degree
         )
 
-    backend = cfg.backend
-    if backend in ("auto", "oracle"):
+    from gs_tpu.ops.rasterize_tiled import resolve_backend
+
+    backend = resolve_backend(cfg.backend)
+    if backend == "oracle":
         out = rasterize_oracle(
             means2d,
             splats.conics,

@@ -1,0 +1,11 @@
+#!/usr/bin/env python
+"""Thin shim: `python metrics.py ...` == reference CLI (gs_tpu.cli.metrics)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gs_tpu.cli.metrics import main
+
+if __name__ == "__main__":
+    main()

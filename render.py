@@ -1,0 +1,11 @@
+#!/usr/bin/env python
+"""Thin shim: `python render.py ...` == reference CLI (gs_tpu.cli.render)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gs_tpu.cli.render import main
+
+if __name__ == "__main__":
+    main()

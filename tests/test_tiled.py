@@ -36,6 +36,52 @@ class TestBinning:
             assert np.all(np.asarray(y1)[idx] > tile_y)
             assert np.all(np.diff(d[idx]) >= 0)  # depth-sorted within tile
 
+    def test_aligned_binning_matches_reference_binning(self):
+        args = random_scene(jax.random.PRNGKey(0), 50, 64, 96)
+        means2d, _, _, _, depths, radii = args
+        tx, ty, tw, th, align = 6, 4, 16, 16, 8
+        b = binning.bin_gaussians(means2d, depths, radii, tx, ty, tw, th, 4096)
+        ab = binning.bin_gaussians_aligned(
+            means2d, depths, radii, tx, ty, tw, th, 4096, align
+        )
+        assert int(ab.num_pairs) == int(b.num_pairs)
+        off = np.asarray(b.tile_offsets)
+        starts, ends = np.asarray(ab.starts), np.asarray(ab.ends)
+        pg, valid = np.asarray(ab.pair_gauss), np.asarray(ab.valid)
+        for t in range(tx * ty):
+            ref = np.asarray(b.pair_gauss)[off[t]:off[t + 1]]
+            assert starts[t] % align == 0 and ends[t] % align == 0
+            got_valid = valid[starts[t]:ends[t]]
+            got = pg[starts[t]:ends[t]][got_valid]
+            np.testing.assert_array_equal(got, ref)  # same splats, same order
+            # all padding sits at the tail of the tile's range
+            n_real = got_valid.sum()
+            assert not got_valid[n_real:].any()
+        # nothing valid outside tile ranges
+        outside = np.ones(len(valid), bool)
+        for t in range(tx * ty):
+            outside[starts[t]:ends[t]] = False
+        assert not valid[outside].any()
+
+    def test_aligned_binning_overflow_drops_whole_gaussians(self):
+        args = random_scene(jax.random.PRNGKey(3), 64, 64, 96)
+        means2d, _, _, _, depths, radii = args
+        tx, ty = 6, 4
+        full = binning.bin_gaussians_aligned(
+            means2d, depths, radii, tx, ty, 16, 16, 4096, 8
+        )
+        budget = max(int(full.num_pairs) // 2, 8)
+        ab = binning.bin_gaussians_aligned(
+            means2d, depths, radii, tx, ty, 16, 16, budget, 8
+        )
+        assert int(ab.num_pairs) == int(full.num_pairs)  # reports true total
+        # surviving pair count <= budget; layout still aligned + consistent
+        assert int(ab.valid.sum()) <= budget
+        starts, ends = np.asarray(ab.starts), np.asarray(ab.ends)
+        valid = np.asarray(ab.valid)
+        counts = np.array([valid[s:e].sum() for s, e in zip(starts, ends)])
+        assert counts.sum() == int(ab.valid.sum())
+
     def test_budget_sentinel_padding(self):
         args = random_scene(jax.random.PRNGKey(1), 10, 32, 32)
         means2d, _, _, _, depths, radii = args
