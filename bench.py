@@ -26,6 +26,9 @@ H, W = 1080, 1920
 N_GAUSS = 262_144
 BASELINE_PIX_PER_S = 30 * 1920 * 1080  # reference: >=30fps @1080p fwd-only
 BACKEND = os.environ.get("GS_TPU_BENCH_BACKEND", "auto")
+CHUNK = int(os.environ.get("GS_TPU_BENCH_CHUNK", "64"))
+TILE_W = int(os.environ.get("GS_TPU_BENCH_TILE_W", "16"))
+TILE_H = int(os.environ.get("GS_TPU_BENCH_TILE_H", "16"))
 
 
 def main():
@@ -50,7 +53,7 @@ def main():
         fovx=math.radians(70), fovy=math.radians(46), width=W, height=H,
     )
     target = jnp.zeros((3, H, W), jnp.float32)
-    cfg = RasterizeConfig(backend=BACKEND, chunk=128, tile_w=16, tile_h=16)
+    cfg = RasterizeConfig(backend=BACKEND, chunk=CHUNK, tile_w=TILE_W, tile_h=TILE_H)
 
     @jax.jit
     def fwd_bwd(state):

@@ -44,6 +44,8 @@ def main(argv=None):
     parser.add_argument("--disable_viewer", action="store_true", default=False)
     parser.add_argument("--raster_backend", type=str, default="auto",
                         choices=["auto", "pallas", "xla", "oracle"])
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write a jax.profiler trace of iterations 50-60")
     args = parser.parse_args(sys.argv[1:] if argv is None else argv)
     args.save_iterations.append(args.iterations)
 
@@ -91,6 +93,7 @@ def main(argv=None):
         start_checkpoint=args.start_checkpoint,
         progress=progress,
         gui_server=gui_server,
+        profile_dir=args.profile_dir,
     )
     if gui_server is not None:
         gui_server.close()

@@ -86,7 +86,7 @@ class RasterizeConfig:
 
     tile_w: int = 16
     tile_h: int = 16
-    chunk: int = 128  # splats per compositing chunk (MXU-aligned)
+    chunk: int = 64  # splats per compositing chunk (best on v5e; see benchmarks)
     pair_budget_factor: float = 8.0  # MAX_PAIRS = factor * capacity (tile-overlap duplication)
     min_pair_budget: int = 1 << 14
     backend: str = "auto"  # "auto" | "pallas" | "xla" | "oracle"

@@ -95,6 +95,13 @@ def rotmat_to_qvec(R: np.ndarray) -> np.ndarray:
 
 
 def read_cameras_binary(path: str) -> dict[int, ColmapCamera]:
+    from gs_tpu.data import native
+
+    if native.available():
+        return {
+            cam_id: ColmapCamera(cam_id, CAMERA_MODELS[model_id][0], w, h, params)
+            for cam_id, model_id, w, h, params in native.read_cameras_binary(path)
+        }
     out: dict[int, ColmapCamera] = {}
     with open(path, "rb") as f:
         (n,) = struct.unpack("<Q", f.read(8))
@@ -107,6 +114,14 @@ def read_cameras_binary(path: str) -> dict[int, ColmapCamera]:
 
 
 def read_images_binary(path: str) -> dict[int, ColmapImage]:
+    from gs_tpu.data import native
+
+    if native.available():
+        return {
+            image_id: ColmapImage(image_id, qvec, tvec, camera_id, name)
+            for image_id, qvec, tvec, camera_id, name
+            in native.read_images_binary(path)
+        }
     out: dict[int, ColmapImage] = {}
     with open(path, "rb") as f:
         (n,) = struct.unpack("<Q", f.read(8))
@@ -130,6 +145,10 @@ def read_images_binary(path: str) -> dict[int, ColmapImage]:
 
 def read_points3d_binary(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Returns (xyz [N,3] f64, rgb [N,3] u8, error [N] f64)."""
+    from gs_tpu.data import native
+
+    if native.available():
+        return native.read_points3d_binary(path)
     xyzs, rgbs, errs = [], [], []
     with open(path, "rb") as f:
         (n,) = struct.unpack("<Q", f.read(8))

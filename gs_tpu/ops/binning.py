@@ -125,9 +125,17 @@ class AlignedBinningOut(NamedTuple):
     ``pair_gauss`` indexes the original Gaussian arrays; ``valid`` is False
     for per-tile alignment padding and unused tail slots. Tile t owns slots
     [starts[t], ends[t]) — a multiple of ``align`` long, depth-ordered.
+
+    ``pair_slot`` indexes DEPTH-SORTED Gaussian order (pair_gauss ==
+    depth_order[pair_slot]); gathering attributes through
+    ``attr[depth_order][pair_slot]`` costs one cheap [N] gather instead of a
+    second [AB] random gather, so prefer it on the hot path and let XLA DCE
+    ``pair_gauss`` away.
     """
 
-    pair_gauss: jnp.ndarray  # [AB] int32
+    pair_gauss: jnp.ndarray  # [AB] int32, original Gaussian index
+    pair_slot: jnp.ndarray  # [AB] int32, depth-order slot (0 for padding)
+    depth_order: jnp.ndarray  # [N] int32
     valid: jnp.ndarray  # [AB] bool
     starts: jnp.ndarray  # [T] int32, multiples of align
     ends: jnp.ndarray  # [T] int32
@@ -235,9 +243,12 @@ def bin_gaussians_aligned(
     keys_sorted, owner_sorted = jax.lax.sort((keys, payload), num_keys=1,
                                              is_stable=True)
     is_real = (keys_sorted % 2 == 0) & (keys_sorted < 2 * num_tiles)
-    pair_gauss = depth_order[jnp.maximum(owner_sorted, 0)]  # one B-gather
+    pair_slot = jnp.where(is_real, jnp.maximum(owner_sorted, 0), 0)
+    pair_gauss = depth_order[pair_slot]  # one B-gather; DCE'd when unused
     return AlignedBinningOut(
         pair_gauss=jnp.where(is_real, pair_gauss, 0),
+        pair_slot=pair_slot,
+        depth_order=depth_order,
         valid=is_real,
         starts=astarts,
         ends=aends,

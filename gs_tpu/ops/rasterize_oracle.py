@@ -41,6 +41,7 @@ T_EPS = 1e-4
 class RasterOut(NamedTuple):
     image: jnp.ndarray  # [3, H, W]
     final_t: jnp.ndarray  # [H, W] remaining transmittance
+    num_pairs: jnp.ndarray | None = None  # true (tile,splat) pair count
 
 
 def rasterize_oracle(

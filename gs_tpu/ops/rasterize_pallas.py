@@ -181,7 +181,8 @@ def _fwd_kernel(row_ref, blk_ref, tid_ref, attr_ref,
         alpha, power, _, _ = _chunk_alpha(attr, px, py)
         incl = (alpha >= ALPHA_SKIP) & (power <= 0.0)
         omb = jnp.where(incl, 1.0 - alpha, 1.0)
-        t_before = t_ref[0] * (_cumprod_incl(omb) / omb)  # (1,P)*(S,P)
+        # exclusive cumprod = shifted inclusive (no [S,P] division)
+        t_before = t_ref[0] * _shift_down(_cumprod_incl(omb), 1, 1.0)
         stop = incl & (t_before * (1.0 - alpha) < T_EPS)
         stop_f = stop.astype(_F32)
         died_before = died_ref[:] + _cumsum_excl(stop_f)

@@ -443,9 +443,10 @@ def rasterize_tiled(
         pair_budget, cfg.chunk,
     )
 
-    # ONE packed gather per pair (autodiff = one scatter-add of pair grads)
+    # ONE packed gather per pair, through the depth-sorted attribute table
+    # (autodiff = one scatter-add of pair grads + one cheap [N] scatter)
     attr = pack_attributes(means2d, conics, colors, opacities)
-    sp_attr = attr[ab.pair_gauss]
+    sp_attr = attr[ab.depth_order][ab.pair_slot]
     # alignment padding / truncated slots must not composite: zero opacity
     sp_attr = sp_attr.at[:, A_OPAC].multiply(ab.valid.astype(_F32))
 
@@ -473,4 +474,4 @@ def rasterize_tiled(
     ft = tile_t.reshape(tiles_y, tiles_x, cfg.tile_h, cfg.tile_w)
     ft = ft.transpose(0, 2, 1, 3).reshape(tiles_y * cfg.tile_h, tiles_x * cfg.tile_w)
     ft = ft[:height, :width]
-    return RasterOut(image=img, final_t=ft)
+    return RasterOut(image=img, final_t=ft, num_pairs=ab.num_pairs)

@@ -78,9 +78,9 @@ def _sharded_render_image(state, camera, bg, st, cfg, active_sh_degree, n_shard,
         means2d, splats.depths, radii, st.tiles_x, st.tiles_y, st.tile_w, st.tile_h,
         pair_budget, st.chunk,
     )
-    # ONE packed gather per pair (autodiff = one scatter-add of pair grads)
+    # ONE packed gather per pair, through the depth-sorted attribute table
     attr = pack_attributes(means2d, splats.conics, colors, opac)
-    sp_attr = attr[ab.pair_gauss]
+    sp_attr = attr[ab.depth_order][ab.pair_slot]
     sp_attr = sp_attr.at[:, A_OPAC].multiply(ab.valid.astype(jnp.float32))
 
     # interleaved tile ownership: tile ids me, me+n_shard, ... (padded w/ empty)

@@ -35,6 +35,7 @@ class RenderOut(NamedTuple):
     radii: jnp.ndarray  # [C] int32 screen radii (0 = invisible)
     visibility: jnp.ndarray  # [C] bool, radii > 0
     final_t: jnp.ndarray  # [H,W] remaining transmittance
+    num_pairs: jnp.ndarray | None = None  # true (tile,splat) pair count
 
 
 def render(
@@ -117,4 +118,5 @@ def render(
         radii=radii,
         visibility=radii > 0,
         final_t=out.final_t,
+        num_pairs=out.num_pairs,
     )

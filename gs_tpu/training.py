@@ -20,6 +20,7 @@ Schedule parity (train.py):
 
 from __future__ import annotations
 
+import dataclasses
 import math
 import random
 import time
@@ -36,10 +37,16 @@ from gs_tpu.config import OptimizationParams, PipelineParams, RasterizeConfig
 from gs_tpu.models import densify, gaussians, optim
 from gs_tpu.models.gaussians import GaussianState
 from gs_tpu.renderer import render
-from gs_tpu.utils import losses, schedules
+from gs_tpu.utils import losses, profiling, schedules
 
 GROW_WATERMARK = 0.9  # grow capacity when alive exceeds this fraction
 GROW_FACTOR = 2.0
+
+
+def current_pair_budget(cfg: RasterizeConfig, capacity: int) -> int:
+    """The static pair budget rasterize_tiled derives from cfg + capacity."""
+    budget = max(int(cfg.pair_budget_factor * capacity), cfg.min_pair_budget)
+    return -(-budget // cfg.chunk) * cfg.chunk
 
 
 @dataclass
@@ -131,6 +138,8 @@ def train_step(
         "n_visible": jnp.sum(out.visibility.astype(jnp.int32)),
         "xyz_lr": xyz_lr,
     }
+    if out.num_pairs is not None:
+        metrics["num_pairs"] = out.num_pairs
     return new_state, new_adam, stats, metrics
 
 
@@ -170,6 +179,8 @@ def run_training(
     progress: Callable[[int, dict], None] | None = None,
     seed: int = 0,
     gui_server=None,
+    profile_dir: str | None = None,
+    profile_iters: tuple[int, int] = (50, 60),
 ):
     """The full optimization loop (``training``, train.py:31-146)."""
     from gs_tpu.utils import ckpt as ckpt_mod
@@ -197,11 +208,15 @@ def run_training(
     key = jax.random.PRNGKey(seed)
     ema_loss = 0.0
     t_start = time.time()
+    timer = profiling.StepTimer()
 
     for iteration in range(first_iter + 1, opt_cfg.iterations + 1):
         ts.iteration = iteration
         if gui_server is not None:
             gui_server.poll(ts, raster_cfg)
+        if profile_dir is not None and iteration == profile_iters[0]:
+            jax.profiler.start_trace(profile_dir)
+        timer.start()
 
         if not viewpoint_stack:
             viewpoint_stack = list(scene.get_train_cameras())
@@ -224,10 +239,34 @@ def run_training(
             accumulate_stats=in_densify_phase,
         )
 
-        loss = float(m["loss"])
+        # pair-budget overflow: the rasterizer dropped the deepest splats this
+        # step; raise the budget factor (one retrace, like capacity growth)
+        if "num_pairs" in m:
+            budget = current_pair_budget(raster_cfg, ts.state.capacity)
+            if int(m["num_pairs"]) > budget:
+                raster_cfg = dataclasses.replace(
+                    raster_cfg,
+                    pair_budget_factor=raster_cfg.pair_budget_factor * 1.5,
+                )
+                print(
+                    f"[iter {iteration}] pair budget overflow "
+                    f"({int(m['num_pairs'])} > {budget}); factor -> "
+                    f"{raster_cfg.pair_budget_factor:.1f}"
+                )
+
+        loss = float(m["loss"])  # device sync: marks the end of the step
+        timer.stop()
+        if profile_dir is not None and iteration == profile_iters[1]:
+            jax.profiler.stop_trace()
+            print(f"[iter {iteration}] wrote profiler trace to {profile_dir}")
         ema_loss = 0.4 * loss + 0.6 * ema_loss if iteration > first_iter + 1 else loss
         if progress is not None and iteration % log_every == 0:
-            progress(iteration, {"ema_loss": ema_loss, **{k: float(v) for k, v in m.items()}})
+            progress(iteration, {
+                "ema_loss": ema_loss,
+                "step_s": timer.ema_s,
+                "pix_per_s": timer.pixels_per_s(cam.width * cam.height),
+                **{k: float(v) for k, v in m.items()},
+            })
 
         # --- densification schedule (train.py:125-136) ----------------------
         if in_densify_phase:

@@ -16,7 +16,7 @@ from tests.reference_raster import random_scene, rasterize_scan
 
 def _run_both(key, n, h, w, bg):
     args = random_scene(key, n, h, w)
-    img_o, t_o = rasterize_oracle(*args, h, w, bg)
+    img_o, t_o, _ = rasterize_oracle(*args, h, w, bg)
     img_s, t_s = rasterize_scan(*args, h, w, bg)
     return (img_o, t_o), (img_s, t_s), args
 
@@ -65,7 +65,7 @@ class TestOracleSemantics:
         means2d = jnp.array([[16.0, 16.0]])
         conics = jnp.array([[0.25, 0.0, 0.25]])
         colors = jnp.array([[1.0, 0.0, 0.0]])
-        img, t = rasterize_oracle(
+        img, t, _ = rasterize_oracle(
             means2d, conics, colors, jnp.array([0.8]), jnp.array([1.0]),
             jnp.array([6], jnp.int32), h, w, jnp.zeros(3),
         )
@@ -83,7 +83,7 @@ class TestOracleSemantics:
         opac = jnp.array([0.6, 0.6])
         radii = jnp.array([20, 20], jnp.int32)
         # red in front (depth 1), green behind (depth 2)
-        img, _ = rasterize_oracle(
+        img, _, _ = rasterize_oracle(
             means2d, conics, colors, opac, jnp.array([1.0, 2.0]), radii, h, w, jnp.zeros(3)
         )
         center = np.asarray(img[:, 4, 4])
@@ -91,7 +91,7 @@ class TestOracleSemantics:
         np.testing.assert_allclose(center[1], 0.6 * 0.4, atol=1e-5)  # behind: alpha*T
 
     def test_background_composites_remainder(self):
-        img, t = rasterize_oracle(
+        img, t, _ = rasterize_oracle(
             jnp.zeros((1, 2)), jnp.array([[1.0, 0.0, 1.0]]), jnp.ones((1, 3)),
             jnp.array([0.0]), jnp.array([1.0]), jnp.array([0], jnp.int32),
             4, 4, jnp.array([0.25, 0.5, 0.75]),

@@ -24,7 +24,7 @@ class TestPallasVsOracle:
     def test_forward(self, seed, n, h, w):
         args = random_scene(jax.random.PRNGKey(seed), n, h, w)
         bg = jnp.array([0.2, 0.4, 0.6])
-        img_o, t_o = rasterize_oracle(*args, h, w, bg, tile_w=16, tile_h=16)
+        img_o, t_o, _ = rasterize_oracle(*args, h, w, bg, tile_w=16, tile_h=16)
         out = rasterize_tiled(*args, h, w, bg, CFG)
         np.testing.assert_allclose(out.image, img_o, rtol=1e-3, atol=2e-4)
         np.testing.assert_allclose(out.final_t, t_o, rtol=1e-3, atol=2e-4)
