@@ -43,6 +43,28 @@ class ProjectedSplats(NamedTuple):
     mask: jnp.ndarray  # [N] bool, visible after frustum + degeneracy culls
 
 
+def bin_radii(radii: jnp.ndarray, opacities: jnp.ndarray) -> jnp.ndarray:
+    """Opacity-tightened binning radius — output-identical, strictly less work.
+
+    The reference bins each splat into every tile its 3-sigma rect touches
+    (radii). But compositing skips any pixel where alpha = opac*exp(power)
+    < 1/255 (ALPHA_SKIP), and alpha falls below that at
+    r = sigma*sqrt(2 ln(255*opac)). For opac < ~0.46 that radius is tighter
+    than 3 sigma, so the extra tiles the reference visits contain only
+    skipped pixels: binning with min(3sigma, cutoff) renders the exact same
+    image with fewer (tile, splat) pairs. Splats with opac <= 1/255 never
+    pass the skip test anywhere -> radius 0.
+
+    Reported radii (visibility filter + max_radii2D densify stat) keep the
+    reference's 3-sigma semantics; this is for binning only.
+    """
+    scale = jnp.sqrt(
+        jnp.maximum(2.0 * jnp.log(255.0 * jnp.maximum(opacities, 1e-12)), 0.0)
+    ) / 3.0  # cutoff radius as a fraction of the 3-sigma radius
+    r = jnp.ceil(radii.astype(jnp.float32) * jnp.minimum(scale, 1.0))
+    return jnp.where(opacities > 1.0 / 255.0, r, 0.0).astype(jnp.int32)
+
+
 def project_gaussians(
     xyz: jnp.ndarray,
     cov3d: jnp.ndarray,
@@ -52,7 +74,7 @@ def project_gaussians(
 
     Args:
       xyz: [N,3] world-space centers.
-      cov3d: [N,3,3] world-space covariance (already scale-modified).
+      cov3d: [N,6] symmetric-packed world covariance (already scale-modified).
       camera: target viewpoint.
 
     Returns:
@@ -92,14 +114,26 @@ def project_gaussians(
     j12 = -focal_y * tyz * inv_tz
 
     w_rot = view[:3, :3]  # world->cam rotation
-    # T = J @ W_rot : [N,2,3]
-    t0 = j00[:, None] * w_rot[0] + j02[:, None] * w_rot[2]
-    t1 = j11[:, None] * w_rot[1] + j12[:, None] * w_rot[2]
-    tmat = jnp.stack([t0, t1], axis=1)  # [N,2,3]
-    cov2d = tmat @ cov3d @ jnp.swapaxes(tmat, -1, -2)  # [N,2,2]
-    c_xx = cov2d[:, 0, 0] + COV2D_DILATION
-    c_xy = cov2d[:, 0, 1]
-    c_yy = cov2d[:, 1, 1] + COV2D_DILATION
+    # T = J @ W_rot : [N,2,3]; then cov2d = T Sigma T^T with Sigma as the
+    # symmetric 6-pack, fully expanded elementwise (batched [3,3] matmuls
+    # lower poorly on TPU)
+    t0 = j00[:, None] * w_rot[0] + j02[:, None] * w_rot[2]  # [N,3]
+    t1 = j11[:, None] * w_rot[1] + j12[:, None] * w_rot[2]  # [N,3]
+    xx, xy, xz = cov3d[:, 0], cov3d[:, 1], cov3d[:, 2]
+    yy, yz, zz = cov3d[:, 3], cov3d[:, 4], cov3d[:, 5]
+
+    def quad(a, b):  # a . Sigma . b for [N,3] row vectors
+        return (
+            xx * a[:, 0] * b[:, 0] + yy * a[:, 1] * b[:, 1]
+            + zz * a[:, 2] * b[:, 2]
+            + xy * (a[:, 0] * b[:, 1] + a[:, 1] * b[:, 0])
+            + xz * (a[:, 0] * b[:, 2] + a[:, 2] * b[:, 0])
+            + yz * (a[:, 1] * b[:, 2] + a[:, 2] * b[:, 1])
+        )
+
+    c_xx = quad(t0, t0) + COV2D_DILATION
+    c_xy = quad(t0, t1)
+    c_yy = quad(t1, t1) + COV2D_DILATION
 
     # --- conic & radius ---------------------------------------------------------
     det = c_xx * c_yy - c_xy * c_xy
@@ -144,5 +178,8 @@ def sh_colors(
 def compute_cov3d(
     log_scale: jnp.ndarray, quat: jnp.ndarray, scale_modifier: float | jnp.ndarray = 1.0
 ) -> jnp.ndarray:
-    """Activated 3D covariance from raw params (``scene/gaussian_model.py:27-32``)."""
-    return transforms.build_covariance(jnp.exp(log_scale) * scale_modifier, quat)
+    """Activated 3D covariance 6-pack from raw params
+    (``scene/gaussian_model.py:27-32``; packing per utils/general_utils.py:72-81)."""
+    return transforms.build_covariance_packed(
+        jnp.exp(log_scale) * scale_modifier, quat
+    )

@@ -438,9 +438,13 @@ def rasterize_tiled(
         pair_budget = max(int(cfg.pair_budget_factor * n), cfg.min_pair_budget)
     pair_budget = -(-pair_budget // cfg.chunk) * cfg.chunk
 
+    # opacity-tightened binning radius: output-identical, fewer pairs
+    # (see projection.bin_radii for the proof)
+    from gs_tpu.ops.projection import bin_radii
+
     ab = binning.bin_gaussians_aligned(
-        means2d, depths, radii, tiles_x, tiles_y, cfg.tile_w, cfg.tile_h,
-        pair_budget, cfg.chunk,
+        means2d, depths, bin_radii(radii, opacities), tiles_x, tiles_y,
+        cfg.tile_w, cfg.tile_h, pair_budget, cfg.chunk,
     )
 
     # ONE packed gather per pair, through the depth-sorted attribute table

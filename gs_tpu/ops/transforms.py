@@ -45,6 +45,30 @@ def build_covariance(scale: jnp.ndarray, quat: jnp.ndarray) -> jnp.ndarray:
     return l @ jnp.swapaxes(l, -1, -2)
 
 
+def build_covariance_packed(scale: jnp.ndarray, quat: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric 6-pack (xx,xy,xz,yy,yz,zz) of ``Sigma = (R S)(R S)^T``.
+
+    Fully expanded elementwise form — batched [3,3] matmuls lower poorly on
+    TPU; this is the hot-path variant of :func:`build_covariance` (same
+    math, packed output).
+    """
+    r = quat_to_rotmat(quat)  # [...,3,3] (built from elementwise stacks)
+    s2 = scale * scale  # [...,3]
+    # Sigma_ij = sum_k s_k^2 R_ik R_jk
+    def entry(i, j):
+        return (
+            s2[..., 0] * r[..., i, 0] * r[..., j, 0]
+            + s2[..., 1] * r[..., i, 1] * r[..., j, 1]
+            + s2[..., 2] * r[..., i, 2] * r[..., j, 2]
+        )
+
+    return jnp.stack(
+        [entry(0, 0), entry(0, 1), entry(0, 2), entry(1, 1), entry(1, 2),
+         entry(2, 2)],
+        axis=-1,
+    )
+
+
 def pack_symmetric(cov: jnp.ndarray) -> jnp.ndarray:
     """Upper-triangular 6-pack (xx, xy, xz, yy, yz, zz) of ``[..., 3, 3]``.
 

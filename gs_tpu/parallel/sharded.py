@@ -75,8 +75,8 @@ def _sharded_render_image(state, camera, bg, st, cfg, active_sh_degree, n_shard,
                                   active_sh_degree)
 
     ab = binning.bin_gaussians_aligned(
-        means2d, splats.depths, radii, st.tiles_x, st.tiles_y, st.tile_w, st.tile_h,
-        pair_budget, st.chunk,
+        means2d, splats.depths, projection.bin_radii(radii, opac),
+        st.tiles_x, st.tiles_y, st.tile_w, st.tile_h, pair_budget, st.chunk,
     )
     # ONE packed gather per pair, through the depth-sorted attribute table
     attr = pack_attributes(means2d, splats.conics, colors, opac)
