@@ -6,7 +6,7 @@ play in the reference's diff-gaussian-rasterization; SURVEY.md §2.2a steps
 single fused Pallas kernel each way:
 
   grid = one step per chunk of splat pairs; chunks of a tile are consecutive
-  grid steps. Packed [S,16] splat blocks stream HBM->VMEM via BlockSpecs
+  grid steps. Packed [S,9] splat blocks stream HBM->VMEM via BlockSpecs
   whose index maps read scalar-prefetched chunk->block tables (tile pair
   ranges are chunk-aligned by binning, so every block is full — no
   partial-chunk masking). The tile's color/transmittance/ncon accumulators
@@ -18,7 +18,7 @@ single fused Pallas kernel each way:
 
   backward, per chunk (tiles walked in reverse chunk order via a second
   prefetched visit table): transmittance reconstructed by division from the
-  running tail product, strict suffix-sums for dL/dalpha, per-pair [S,16]
+  running tail product, strict suffix-sums for dL/dalpha, per-pair [S,9]
   gradient blocks written straight to their slots (each block is owned by
   exactly one tile, so writes never race).
 
@@ -39,7 +39,7 @@ from gs_tpu.ops.rasterize_oracle import ALPHA_MAX, ALPHA_SKIP, T_EPS
 
 _F32 = jnp.float32
 _HI = jax.lax.Precision.HIGHEST
-ATTR_W = 16
+ATTR_W = 9
 
 
 def _interpret() -> bool:
@@ -323,8 +323,7 @@ def _bwd_kernel(row_ref, blk_ref, tid_ref, attr_ref,
                 sum1(-0.5 * dy * dy * d_power),
                 d_rgb,
                 d_opac,
-                jnp.zeros((s, ATTR_W - 9), _F32),
-            ],
+            ] + ([jnp.zeros((s, ATTR_W - 9), _F32)] if ATTR_W > 9 else []),
             axis=1,
         )
 

@@ -28,11 +28,12 @@ exactly via closed-form masks (see rasterize_oracle.py for the argument:
 splats excluded by the first stop never affect the T of earlier splats, so
 the first-stop index is recoverable from the as-if-no-stop T sequence).
 
-Data layout: per-pair splat attributes live in ONE packed [B, 16] array
+Data layout: per-pair splat attributes live in ONE packed [B, 9] array
 (mean xy | conic abc | rgb | opacity | pad). TPU random gathers/scatters cost
 per ROW, so one wide gather is ~10x cheaper than four narrow ones (measured:
 27ms vs 300ms for 2.2M pairs), and the backward's scatter-add of pair grads
-onto Gaussians is likewise a single [B,16] scatter.
+onto Gaussians is likewise a single wide scatter (cost is per row, not per
+column — measured identical at widths 9 and 16).
 
 Two interchangeable compositing backends share this math:
   - XLA backend (this file): vmap over tiles + while_loop over chunks.
@@ -65,7 +66,7 @@ A_MEAN = slice(0, 2)
 A_CONIC = slice(2, 5)
 A_RGB = slice(5, 8)
 A_OPAC = 8
-ATTR_W = 16
+ATTR_W = 9
 
 
 def resolve_backend(backend: str) -> str:
@@ -84,8 +85,7 @@ def pack_attributes(means2d, conics, colors, opacities):
             conics.astype(_F32),
             colors.astype(_F32),
             opacities.astype(_F32)[:, None],
-            jnp.zeros((n, ATTR_W - 9), _F32),
-        ],
+        ] + ([jnp.zeros((n, ATTR_W - 9), _F32)] if ATTR_W > 9 else []),
         axis=1,
     )
 
@@ -275,10 +275,10 @@ def _backward_chunk(st, px, py, attr, pos, end, ncon, g_color, g_t, t_end,
         w, g_color, (((1,), (0,)), ((), ())), precision=_HI,
         preferred_element_type=_F32,
     )  # [S,P] @ [P,3] -> [S,3]
+    pads = ([jnp.zeros((d_mean.shape[0], ATTR_W - 9), _F32)]
+            if ATTR_W > 9 else [])
     d_attr = jnp.concatenate(
-        [d_mean, d_conic, d_rgb, d_opac[:, None],
-         jnp.zeros((d_mean.shape[0], ATTR_W - 9), _F32)],
-        axis=1,
+        [d_mean, d_conic, d_rgb, d_opac[:, None]] + pads, axis=1,
     )
 
     # carries stepped back over this chunk

@@ -206,7 +206,7 @@ def run_training(
 
     viewpoint_stack: list = []
     key = jax.random.PRNGKey(seed)
-    ema_loss = 0.0
+    ema_loss: float | None = None
     t_start = time.time()
     timer = profiling.StepTimer()
 
@@ -239,27 +239,39 @@ def run_training(
             accumulate_stats=in_densify_phase,
         )
 
-        # pair-budget overflow: the rasterizer dropped the deepest splats this
-        # step; raise the budget factor (one retrace, like capacity growth)
-        if "num_pairs" in m:
-            budget = current_pair_budget(raster_cfg, ts.state.capacity)
-            if int(m["num_pairs"]) > budget:
-                raster_cfg = dataclasses.replace(
-                    raster_cfg,
-                    pair_budget_factor=raster_cfg.pair_budget_factor * 1.5,
-                )
-                print(
-                    f"[iter {iteration}] pair budget overflow "
-                    f"({int(m['num_pairs'])} > {budget}); factor -> "
-                    f"{raster_cfg.pair_budget_factor:.1f}"
-                )
-
-        loss = float(m["loss"])  # device sync: marks the end of the step
+        # Sync host<->device only every log_every iterations (plus at
+        # densify/report points below). Pulling float(loss) every step
+        # serializes dispatch and dominates small-scene wall time; JAX's
+        # async dispatch pipelines the in-between steps. The EMA is sampled
+        # at sync points (cosmetic parity with the reference's tqdm EMA).
+        sync = (
+            iteration % log_every == 0
+            or iteration == opt_cfg.iterations
+            or iteration in test_iterations
+        )
+        if sync:
+            # pair-budget overflow: the rasterizer dropped the deepest splats;
+            # raise the budget factor (one retrace, like capacity growth)
+            if "num_pairs" in m:
+                budget = current_pair_budget(raster_cfg, ts.state.capacity)
+                if int(m["num_pairs"]) > budget:
+                    raster_cfg = dataclasses.replace(
+                        raster_cfg,
+                        pair_budget_factor=raster_cfg.pair_budget_factor * 1.5,
+                    )
+                    print(
+                        f"[iter {iteration}] pair budget overflow "
+                        f"({int(m['num_pairs'])} > {budget}); factor -> "
+                        f"{raster_cfg.pair_budget_factor:.1f}"
+                    )
+            loss = float(m["loss"])  # device sync
+            ema_loss = (
+                loss if ema_loss is None else 0.4 * loss + 0.6 * ema_loss
+            )
         timer.stop()
         if profile_dir is not None and iteration == profile_iters[1]:
             jax.profiler.stop_trace()
             print(f"[iter {iteration}] wrote profiler trace to {profile_dir}")
-        ema_loss = 0.4 * loss + 0.6 * ema_loss if iteration > first_iter + 1 else loss
         if progress is not None and iteration % log_every == 0:
             progress(iteration, {
                 "ema_loss": ema_loss,

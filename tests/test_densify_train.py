@@ -162,14 +162,15 @@ class TestTrainSmoke:
         assert losses[-1] < losses[0]
         assert float(ts.stats.denom.max()) > 0  # stats accumulated
 
-    def test_checkpoint_roundtrip(self, tmp_path):
+    @pytest.mark.parametrize("fname", ["ck.npz", "ck_orbax"])
+    def test_checkpoint_roundtrip(self, tmp_path, fname):
         from gs_tpu.training import init_train_state
         from gs_tpu.utils import ckpt
 
         st = _state()
         ts = init_train_state(st, spatial_lr_scale=3.0, max_sh_degree=1)
         ts.iteration = 123
-        path = str(tmp_path / "ck.npz")
+        path = str(tmp_path / fname)
         ckpt.save_train_state(path, ts)
         ts2 = ckpt.load_train_state(path)
         assert ts2.iteration == 123
