@@ -159,20 +159,26 @@ def project_gaussians(
 
 def sh_colors(
     xyz: jnp.ndarray,
-    features: jnp.ndarray,
+    features_dc: jnp.ndarray,
+    features_rest: jnp.ndarray,
     cam_pos: jnp.ndarray,
     active_degree: int,
 ) -> jnp.ndarray:
     """View-dependent RGB from SH coefficients, clamped at 0.
 
-    ``features`` is [N, K, 3] (K = (max_degree+1)^2, dc first then rest),
-    matching the reference layout (``scene/gaussian_model.py:119-122``).
+    ``features_dc`` [N,1,3] + ``features_rest`` [N,K-1,3] in the reference
+    layout (``scene/gaussian_model.py:119-122``), consumed separately and
+    contracted per-coefficient against [N,1] basis values — neither the
+    dc|rest concatenation nor the [N,3,K] transpose ever materializes
+    (layout ops on [N,K,3] are the hot spot otherwise).
     """
     dirs = xyz - cam_pos
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
-    sh = jnp.swapaxes(features, -1, -2)  # [N, 3, K]
-    rgb = sh_ops.eval_sh(active_degree, sh, dirs) + 0.5
-    return jnp.maximum(rgb, 0.0)
+    basis = sh_ops.eval_sh_basis(active_degree, dirs)  # list of [N,1]
+    rgb = basis[0] * features_dc[:, 0, :]
+    for k in range(1, len(basis)):
+        rgb = rgb + basis[k] * features_rest[:, k - 1, :]
+    return jnp.maximum(rgb + 0.5, 0.0)
 
 
 def compute_cov3d(

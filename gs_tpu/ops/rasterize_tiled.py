@@ -451,8 +451,11 @@ def rasterize_tiled(
     # (autodiff = one scatter-add of pair grads + one cheap [N] scatter)
     attr = pack_attributes(means2d, conics, colors, opacities)
     sp_attr = attr[ab.depth_order][ab.pair_slot]
-    # alignment padding / truncated slots must not composite: zero opacity
-    sp_attr = sp_attr.at[:, A_OPAC].multiply(ab.valid.astype(_F32))
+    # alignment padding / truncated slots must not composite: zero opacity.
+    # Broadcast multiply, NOT .at[:, col].multiply — the latter lowers to a
+    # 21MB scatter-mul + dynamic-update-slice pair (~6ms each way)
+    col_keep = (jnp.arange(ATTR_W) != A_OPAC).astype(_F32)
+    sp_attr = sp_attr * jnp.maximum(ab.valid.astype(_F32)[:, None], col_keep)
 
     st = CompositeStatic(
         tiles_x=tiles_x,

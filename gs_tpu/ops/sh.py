@@ -37,6 +37,45 @@ def num_sh_coeffs(degree: int) -> int:
     return (degree + 1) ** 2
 
 
+def eval_sh_basis(deg: int, dirs: jnp.ndarray) -> list[jnp.ndarray]:
+    """The (deg+1)^2 real SH basis polynomials at ``dirs`` [..., 3].
+
+    Returns a list of ``[..., 1]`` arrays so callers can contract against
+    coefficient slices in any memory layout (avoids the [N,K,C]<->[N,C,K]
+    transpose that dominates SH evaluation cost on TPU otherwise).
+    """
+    if not 0 <= deg <= 3:
+        raise ValueError(f"sh degree must be in [0, 3], got {deg}")
+    one = jnp.ones_like(dirs[..., 0:1])
+    basis = [C0 * one]
+    if deg > 0:
+        x = dirs[..., 0:1]
+        y = dirs[..., 1:2]
+        z = dirs[..., 2:3]
+        basis += [-C1 * y, C1 * z, -C1 * x]
+        if deg > 1:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            basis += [
+                C2[0] * xy,
+                C2[1] * yz,
+                C2[2] * (2.0 * zz - xx - yy),
+                C2[3] * xz,
+                C2[4] * (xx - yy),
+            ]
+            if deg > 2:
+                basis += [
+                    C3[0] * y * (3.0 * xx - yy),
+                    C3[1] * xy * z,
+                    C3[2] * y * (4.0 * zz - xx - yy),
+                    C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+                    C3[4] * x * (4.0 * zz - xx - yy),
+                    C3[5] * z * (xx - yy),
+                    C3[6] * x * (xx - 3.0 * yy),
+                ]
+    return basis
+
+
 def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     """Evaluate SH polynomials at unit directions.
 

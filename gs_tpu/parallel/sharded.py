@@ -40,7 +40,7 @@ from gs_tpu.config import OptimizationParams, RasterizeConfig
 from gs_tpu.models import densify, optim
 from gs_tpu.models.gaussians import GaussianState
 from gs_tpu.ops import binning, projection
-from gs_tpu.ops.rasterize_tiled import (A_OPAC, CompositeStatic,
+from gs_tpu.ops.rasterize_tiled import (A_OPAC, ATTR_W, CompositeStatic,
                                         composite_tiles, pack_attributes,
                                         resolve_backend)
 from gs_tpu.parallel.mesh import DATA_AXIS, SHARD_AXIS
@@ -71,7 +71,8 @@ def _sharded_render_image(state, camera, bg, st, cfg, active_sh_degree, n_shard,
         means2d = means2d + means2d_offset
     radii = jnp.where(state.alive, splats.radii, 0)
     opac = jnp.where(state.alive[:, None], state.opacity, 0.0)[:, 0]
-    colors = projection.sh_colors(state.xyz, state.features, camera.cam_pos,
+    colors = projection.sh_colors(state.xyz, state.features_dc,
+                                  state.features_rest, camera.cam_pos,
                                   active_sh_degree)
 
     ab = binning.bin_gaussians_aligned(
@@ -81,7 +82,10 @@ def _sharded_render_image(state, camera, bg, st, cfg, active_sh_degree, n_shard,
     # ONE packed gather per pair, through the depth-sorted attribute table
     attr = pack_attributes(means2d, splats.conics, colors, opac)
     sp_attr = attr[ab.depth_order][ab.pair_slot]
-    sp_attr = sp_attr.at[:, A_OPAC].multiply(ab.valid.astype(jnp.float32))
+    col_keep = (jnp.arange(ATTR_W) != A_OPAC).astype(jnp.float32)
+    sp_attr = sp_attr * jnp.maximum(
+        ab.valid.astype(jnp.float32)[:, None], col_keep
+    )
 
     # interleaved tile ownership: tile ids me, me+n_shard, ... (padded w/ empty)
     local_ranks = jnp.arange(tiles_per_dev, dtype=jnp.int32)

@@ -75,7 +75,8 @@ def render(
         colors = override_color
     else:
         colors = projection.sh_colors(
-            state.xyz, state.features, camera.cam_pos, active_sh_degree
+            state.xyz, state.features_dc, state.features_rest, camera.cam_pos,
+            active_sh_degree,
         )
 
     from gs_tpu.ops.rasterize_tiled import resolve_backend
