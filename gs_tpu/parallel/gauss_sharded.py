@@ -1,0 +1,237 @@
+"""Gaussian-sharded training: model state + Adam sharded over the mesh.
+
+SURVEY.md §2.4 rows 2-4 — the layout for N beyond one chip's memory:
+
+  - **Gaussian (model-state) sharding**: every [capacity, ...] leaf of the
+    GaussianState / AdamState / DensifyStats pytrees is sharded on its
+    leading axis over the ``shard`` mesh axis. Parameters + moments are the
+    dominant memory (59 + 118 floats per Gaussian vs 11 communicated), so
+    this is where capacity scales.
+  - **Visible-splat all-gather**: each device projects only its own shard
+    (projection/SH work divided by D), packs the 11 per-splat floats the
+    rasterizer needs (attr9 | depth | bin radius), and ``all_gather``s the
+    compact splat table. Binning + compositing of the device's interleaved
+    tile shard then proceed exactly as in the replicated path.
+  - **Gradient reduce-scatter overlapped with backward**: the splat
+    all_gather is differentiated by shard_map autodiff — its VJP is a
+    ``psum_scatter``, so each device receives exactly its shard's summed
+    splat gradient, which then chains through its local projection to its
+    local parameter shard. No explicit collective code in the backward.
+
+Factor bookkeeping: the loss is computed redundantly on every shard device
+from the reassembled image, so cotangents arrive x n_shard through the tile
+all_gather VJP; the splat psum_scatter performs the true over-devices sum.
+Dividing by n_shard recovers the exact single-device gradient (verified
+against the single-device train_step in tests/test_sharding.py).
+
+Future work (noted, not yet built): visibility compaction before the
+all_gather (communicate only radii>0 splats into a fixed budget) and
+periodic shard rebalancing after densification.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from gs_tpu.config import OptimizationParams, RasterizeConfig
+from gs_tpu.models import densify, optim
+from gs_tpu.ops import binning, projection
+from gs_tpu.ops.rasterize_tiled import (A_OPAC, ATTR_W, CompositeStatic,
+                                        composite_tiles, pack_attributes,
+                                        resolve_backend)
+from gs_tpu.parallel.mesh import DATA_AXIS, SHARD_AXIS
+from gs_tpu.utils import losses, schedules
+
+SPLAT_W = ATTR_W + 2  # attr9 | depth | bin radius
+
+
+def shard_specs(template, capacity: int):
+    """P(SHARD_AXIS) for [capacity, ...] leaves, replicated otherwise."""
+    def spec(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == capacity:
+            return P(SHARD_AXIS)
+        return P()
+
+    return jax.tree.map(spec, template)
+
+
+def _project_local(state, camera, active_sh_degree, means2d_offset):
+    """Project this device's Gaussian shard -> packed [local, 11] splats."""
+    cov3d = projection.compute_cov3d(state.log_scale, state.quat, 1.0)
+    splats = projection.project_gaussians(state.xyz, cov3d, camera)
+    means2d = splats.means2d
+    if means2d_offset is not None:
+        means2d = means2d + means2d_offset
+    radii = jnp.where(state.alive, splats.radii, 0)
+    opac = jnp.where(state.alive[:, None], state.opacity, 0.0)[:, 0]
+    colors = projection.sh_colors(state.xyz, state.features_dc,
+                                  state.features_rest, camera.cam_pos,
+                                  active_sh_degree)
+    attr = pack_attributes(means2d, splats.conics, colors, opac)
+    brad = projection.bin_radii(radii, opac).astype(jnp.float32)
+    packed = jnp.concatenate(
+        [attr, splats.depths[:, None], brad[:, None]], axis=1
+    )
+    return packed, radii
+
+
+def _render_from_gathered(splat_table, camera, bg, st, n_shard, pair_budget):
+    """Bin the full gathered splat table; composite my interleaved tiles."""
+    me = jax.lax.axis_index(SHARD_AXIS)
+    num_tiles = st.tiles_x * st.tiles_y
+    tiles_per_dev = -(-num_tiles // n_shard)
+
+    means2d = splat_table[:, 0:2]
+    depths = splat_table[:, ATTR_W]
+    brad = splat_table[:, ATTR_W + 1].astype(jnp.int32)
+
+    ab = binning.bin_gaussians_aligned(
+        means2d, depths, brad, st.tiles_x, st.tiles_y, st.tile_w, st.tile_h,
+        pair_budget, st.chunk,
+    )
+    attr = splat_table[:, :ATTR_W]
+    sp_attr = attr[ab.depth_order][ab.pair_slot]
+    col_keep = (jnp.arange(ATTR_W) != A_OPAC).astype(jnp.float32)
+    sp_attr = sp_attr * jnp.maximum(ab.valid.astype(jnp.float32)[:, None],
+                                    col_keep)
+
+    local_ranks = jnp.arange(tiles_per_dev, dtype=jnp.int32)
+    my_tiles = me + local_ranks * n_shard
+    in_range = my_tiles < num_tiles
+    my_tiles_safe = jnp.minimum(my_tiles, num_tiles - 1)
+    starts = jnp.where(in_range, ab.starts[my_tiles_safe], 0)
+    ends = jnp.where(in_range, ab.ends[my_tiles_safe], 0)
+
+    tile_color, tile_t, _ = composite_tiles(st, sp_attr, my_tiles_safe,
+                                            starts, ends)
+    tile_color = tile_color + tile_t[..., None] * bg[None, None, :]
+
+    all_tiles = jax.lax.all_gather(tile_color, SHARD_AXIS, axis=0, tiled=False)
+    full = jnp.swapaxes(all_tiles, 0, 1).reshape(
+        tiles_per_dev * n_shard, tile_color.shape[1], 3
+    )[:num_tiles]
+    img = full.reshape(st.tiles_y, st.tiles_x, st.tile_h, st.tile_w, 3)
+    img = img.transpose(4, 0, 2, 1, 3).reshape(
+        3, st.tiles_y * st.tile_h, st.tiles_x * st.tile_w
+    )
+    return img[:, : camera.height, : camera.width]
+
+
+def make_gauss_sharded_train_step(
+    mesh,
+    opt_cfg: OptimizationParams,
+    raster_cfg: RasterizeConfig,
+    height: int,
+    width: int,
+    capacity: int,
+    active_sh_degree: int,
+    pair_budget: int | None = None,
+):
+    """Jitted train step with Gaussian state + Adam sharded over ``shard``.
+
+    Inputs: (state, adam, stats) sharded on their leading [capacity] axis,
+    camera batch sharded over ``data``, replicated bg/iteration/lr-scale.
+    Outputs keep the same shardings. Every device touches only
+    capacity / n_shard Gaussians of parameter + optimizer memory.
+    """
+    n_data, n_shard = mesh.shape[DATA_AXIS], mesh.shape[SHARD_AXIS]
+    if capacity % n_shard != 0:
+        raise ValueError(f"capacity {capacity} not divisible by shard={n_shard}")
+    local_cap = capacity // n_shard
+    tiles_x = -(-width // raster_cfg.tile_w)
+    tiles_y = -(-height // raster_cfg.tile_h)
+    if pair_budget is None:
+        pair_budget = max(
+            int(raster_cfg.pair_budget_factor * capacity), raster_cfg.min_pair_budget
+        )
+    pair_budget = -(-pair_budget // raster_cfg.chunk) * raster_cfg.chunk
+    st = CompositeStatic(
+        tiles_x=tiles_x, tiles_y=tiles_y, tile_w=raster_cfg.tile_w,
+        tile_h=raster_cfg.tile_h, chunk=raster_cfg.chunk,
+        tile_batch=getattr(raster_cfg, "tile_batch", 256),
+        backend=resolve_backend(raster_cfg.backend),
+    )
+
+    def _local_step(state, adam, stats, cam_batch, bg, iteration,
+                    spatial_lr_scale):
+        cam = jax.tree.map(
+            lambda x: x[0] if hasattr(x, "ndim") and x.ndim > 0 else x, cam_batch
+        )
+        params = state.params()  # local shard's leaves
+        offset0 = jnp.zeros((local_cap, 2), jnp.float32)
+
+        def loss_fn(p, offset):
+            s = state.with_params(p)
+            packed, radii = _project_local(s, cam, active_sh_degree, offset)
+            table = jax.lax.all_gather(packed, SHARD_AXIS, axis=0, tiled=True)
+            img = _render_from_gathered(table, cam, bg, st, n_shard,
+                                        pair_budget)
+            loss = losses.photometric_loss(img, cam.image, opt_cfg.lambda_dssim)
+            return loss, radii
+
+        (loss, radii), (g_params, g_offset) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, offset0)
+
+        # the redundant per-device loss makes cotangents arrive x n_shard;
+        # the splat psum_scatter already summed over devices (see module
+        # docstring), so dividing by n_shard gives the exact gradient.
+        # Camera batch averages over data.
+        g_params = jax.lax.pmean(
+            jax.tree.map(lambda g: g / n_shard, g_params), DATA_AXIS
+        )
+        g_offset_cam = g_offset / n_shard
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+
+        xyz_lr = schedules.expon_lr(
+            iteration,
+            lr_init=opt_cfg.position_lr_init,
+            lr_final=opt_cfg.position_lr_final,
+            lr_delay_mult=opt_cfg.position_lr_delay_mult,
+            max_steps=opt_cfg.position_lr_max_steps,
+        ) * spatial_lr_scale
+        new_params, new_adam = optim.update(
+            params, g_params, adam, optim.group_lrs(opt_cfg, xyz_lr)
+        )
+
+        vis = radii > 0
+        g_ndc = g_offset_cam * jnp.array([0.5 * width, 0.5 * height], jnp.float32)
+        d_accum = jax.lax.psum(
+            jnp.where(vis, jnp.linalg.norm(g_ndc, axis=-1), 0.0), DATA_AXIS
+        )
+        d_denom = jax.lax.psum(vis.astype(jnp.float32), DATA_AXIS)
+        r_max = jax.lax.pmax(
+            jnp.where(vis, radii.astype(jnp.float32), 0.0), DATA_AXIS
+        )
+        new_stats = densify.DensifyStats(
+            xyz_grad_accum=stats.xyz_grad_accum + d_accum,
+            denom=stats.denom + d_denom,
+            max_radii2d=jnp.maximum(stats.max_radii2d, r_max),
+        )
+        return state.with_params(new_params), new_adam, new_stats, loss
+
+    # shard every [capacity]-leading leaf; replicate scalars (Adam steps)
+    from gs_tpu.models import gaussians as gmod
+
+    state_t = gmod.empty_state(capacity, 3)
+    adam_t = optim.init(state_t.params())
+    stats_t = densify.DensifyStats.zeros(capacity)
+    in_specs = (
+        shard_specs(state_t, capacity),
+        shard_specs(adam_t, capacity),
+        shard_specs(stats_t, capacity),
+        P(DATA_AXIS), P(), P(), P(),
+    )
+    out_specs = (
+        shard_specs(state_t, capacity),
+        shard_specs(adam_t, capacity),
+        shard_specs(stats_t, capacity),
+        P(),
+    )
+    smapped = jax.shard_map(
+        _local_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(smapped)

@@ -20,9 +20,10 @@ TPU-native parallelization of the reference's single-GPU training loop
       its tiles' contribution) and ``pmean``'d over ``data`` (camera batch)
   optimizer: Adam on replicated params — identical on every device.
 
-Round-1 layout: Gaussian parameters replicated, tiles + cameras sharded.
-The Gaussian-sharded projection + visible-splat all-gather layout (for
-N beyond one chip's memory) is the planned v2 (SURVEY.md §2.4 rows 2-4).
+This module is the replicated-parameter layout (tiles + cameras sharded);
+for N beyond one chip's memory use gs_tpu.parallel.gauss_sharded, which
+shards the Gaussian state + Adam moments over the mesh and all_gathers
+compact visible splats instead (SURVEY.md §2.4 rows 2-4).
 """
 
 from __future__ import annotations

@@ -76,6 +76,54 @@ class TestShardedTrainStep:
             s_adam.nu["opacity"], r_adam.nu["opacity"], rtol=1e-3, atol=1e-10
         )
 
+class TestGaussianSharded:
+    """Model-state-sharded step (gauss_sharded): params + Adam over shard."""
+
+    def test_matches_single_device_step(self):
+        from gs_tpu.parallel.gauss_sharded import make_gauss_sharded_train_step
+        from gs_tpu.training import train_step
+
+        st, cam = _scene()
+        opt_cfg = OptimizationParams()
+        mesh = mesh_mod.make_mesh(data=1)  # 1x8: gaussians sharded 8 ways
+        step = make_gauss_sharded_train_step(
+            mesh, opt_cfg, RCFG, H, W, st.capacity, 1
+        )
+        adam = optim.init(st.params())
+        stats = densify.DensifyStats.zeros(st.capacity)
+        cam_batch = cameras.stack_cameras([cam])
+
+        s_state, s_adam, s_stats, s_loss = step(
+            st, adam, stats, cam_batch, jnp.zeros(3), jnp.int32(0), jnp.float32(1.0)
+        )
+        r_state, r_adam, r_stats, m = train_step(
+            st, adam, stats, cam, jnp.zeros(3), jnp.int32(0), jnp.float32(1.0),
+            active_sh_degree=1, opt_cfg=opt_cfg, raster_cfg=RCFG,
+            accumulate_stats=True,
+        )
+        np.testing.assert_allclose(float(s_loss), float(m["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(s_state.xyz, r_state.xyz, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(
+            s_state.logit_opacity, r_state.logit_opacity, rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            s_stats.xyz_grad_accum, r_stats.xyz_grad_accum, rtol=1e-3, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            s_adam.nu["opacity"], r_adam.nu["opacity"], rtol=1e-3, atol=1e-10
+        )
+        # outputs keep the sharded layout (leading axis over 'shard')
+        assert s_state.xyz.sharding.spec[0] == mesh_mod.SHARD_AXIS
+
+    def test_state_specs_shard_every_array_leaf(self):
+        from jax.sharding import PartitionSpec as P
+
+        from gs_tpu.parallel.gauss_sharded import shard_specs
+
+        st, _ = _scene()
+        flat, _ = jax.tree_util.tree_flatten(shard_specs(st, st.capacity))
+        assert flat and all(s == P(mesh_mod.SHARD_AXIS) for s in flat)
+
     def test_data_parallel_two_cameras(self):
         st, cam0 = _scene(seed=0)
         _, cam1 = _scene(seed=1)
