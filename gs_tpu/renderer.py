@@ -46,6 +46,7 @@ def render(
     bg_color: jnp.ndarray,
     scaling_modifier: float | jnp.ndarray = 1.0,
     override_color: jnp.ndarray | None = None,
+    cov3d_precomp: jnp.ndarray | None = None,
     means2d_offset: jnp.ndarray | None = None,
     cfg: RasterizeConfig = _DEFAULT_CFG,
 ) -> RenderOut:
@@ -59,7 +60,15 @@ def render(
         positional gradient (densification signal).
       cfg: rasterizer tuning (tile size, pair budget, backend).
     """
-    cov3d = projection.compute_cov3d(state.log_scale, state.quat, scaling_modifier)
+    # cov3d_precomp mirrors the reference rasterizer's cov3D_precomp input
+    # (gaussian_renderer/__init__.py:80-94): exactly one of {scale+rotation,
+    # precomputed 6-pack covariance} feeds the projection. override_color
+    # likewise replaces the SH path (colors_precomp).
+    if cov3d_precomp is not None:
+        cov3d = cov3d_precomp
+    else:
+        cov3d = projection.compute_cov3d(state.log_scale, state.quat,
+                                         scaling_modifier)
     splats = projection.project_gaussians(state.xyz, cov3d, camera)
 
     means2d = splats.means2d
