@@ -250,8 +250,11 @@ def bin_gaussians_aligned(
     keys_sorted, owner_sorted = jax.lax.sort((keys, payload), num_keys=1,
                                              is_stable=True)
     is_real = (keys_sorted % 2 == 0) & (keys_sorted < 2 * num_tiles)
-    pair_slot = jnp.where(is_real, jnp.maximum(owner_sorted, 0), 0)
-    pair_gauss = depth_order[pair_slot]  # one B-gather; DCE'd when unused
+    # invalid slots point at the NULL row n: gathering through an attribute
+    # table padded with one zero row makes padding pairs zero-opacity with
+    # no separate mask multiply over the [AB, attrs] buffer
+    pair_slot = jnp.where(is_real, jnp.maximum(owner_sorted, 0), n)
+    pair_gauss = depth_order[jnp.minimum(pair_slot, max(n - 1, 0))]
     return AlignedBinningOut(
         pair_gauss=jnp.where(is_real, pair_gauss, 0),
         pair_slot=pair_slot,

@@ -125,13 +125,17 @@ def _pixel_coords(tid, tiles_x, tile_w, tile_h, p):
 # ----------------------------------------------------------------------------
 
 
-def _visit_tables(starts, ends, chunk, cap_chunks, reverse):
+def _visit_tables(starts, ends, chunk, cap_chunks, reverse, dead_blk=None):
     """Per-grid-step (row, block) tables for chunked tile traversal.
 
     Tiles are visited in list order; within a tile, chunks run forward
     (``reverse=False``) or backward. Grid steps beyond the true total get
-    row == M (dummy) and block == cap_chunks (dump slot).
+    row == M (dummy) and block == ``dead_blk`` (default: the extra dump
+    slot cap_chunks; the forward pass uses 0 since its compute is gated
+    and it never writes pair-indexed outputs — saving the dump-block pad).
     """
+    if dead_blk is None:
+        dead_blk = cap_chunks
     ncks = (ends - starts) // chunk  # [M], ranges are chunk-aligned
     m = starts.shape[0]
     offs = jnp.cumsum(ncks) - ncks  # [M] exclusive
@@ -146,7 +150,7 @@ def _visit_tables(starts, ends, chunk, cap_chunks, reverse):
     blk = starts[row] // chunk + k
     live = j < total
     row = jnp.where(live, row, m).astype(jnp.int32)
-    blk = jnp.where(live, blk, cap_chunks).astype(jnp.int32)
+    blk = jnp.where(live, blk, dead_blk).astype(jnp.int32)
     return row, blk
 
 
@@ -211,9 +215,9 @@ def composite_fwd_pallas(st, sp_attr, tile_ids, starts, ends):
     cap_chunks = b // s
     m = tile_ids.shape[0]
 
-    row, blk = _visit_tables(starts, ends, s, cap_chunks, reverse=False)
-    # dump slot for dead chunks: one extra zero block
-    sp_attr = jnp.concatenate([sp_attr, jnp.zeros((s, ATTR_W), _F32)])
+    # dead chunks read block 0 (their compute is @pl.when-gated) — no pad
+    row, blk = _visit_tables(starts, ends, s, cap_chunks, reverse=False,
+                             dead_blk=0)
 
     kernel = functools.partial(_fwd_kernel, st=st, m=m)
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -450,12 +450,10 @@ def rasterize_tiled(
     # ONE packed gather per pair, through the depth-sorted attribute table
     # (autodiff = one scatter-add of pair grads + one cheap [N] scatter)
     attr = pack_attributes(means2d, conics, colors, opacities)
-    sp_attr = attr[ab.depth_order][ab.pair_slot]
-    # alignment padding / truncated slots must not composite: zero opacity.
-    # Broadcast multiply, NOT .at[:, col].multiply — the latter lowers to a
-    # 21MB scatter-mul + dynamic-update-slice pair (~6ms each way)
-    col_keep = (jnp.arange(ATTR_W) != A_OPAC).astype(_F32)
-    sp_attr = sp_attr * jnp.maximum(ab.valid.astype(_F32)[:, None], col_keep)
+    # depth-ordered attribute table + one zero NULL row; padding pairs index
+    # the null row (zero opacity) so no mask pass over [AB, attrs] is needed
+    attr_ds = jnp.concatenate([attr[ab.depth_order], jnp.zeros((1, ATTR_W), _F32)])
+    sp_attr = attr_ds[ab.pair_slot]
 
     st = CompositeStatic(
         tiles_x=tiles_x,

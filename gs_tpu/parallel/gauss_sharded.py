@@ -92,10 +92,10 @@ def _render_from_gathered(splat_table, camera, bg, st, n_shard, pair_budget):
         pair_budget, st.chunk,
     )
     attr = splat_table[:, :ATTR_W]
-    sp_attr = attr[ab.depth_order][ab.pair_slot]
-    col_keep = (jnp.arange(ATTR_W) != A_OPAC).astype(jnp.float32)
-    sp_attr = sp_attr * jnp.maximum(ab.valid.astype(jnp.float32)[:, None],
-                                    col_keep)
+    attr_ds = jnp.concatenate(
+        [attr[ab.depth_order], jnp.zeros((1, ATTR_W), jnp.float32)]
+    )
+    sp_attr = attr_ds[ab.pair_slot]
 
     local_ranks = jnp.arange(tiles_per_dev, dtype=jnp.int32)
     my_tiles = me + local_ranks * n_shard

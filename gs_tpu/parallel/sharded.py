@@ -80,13 +80,13 @@ def _sharded_render_image(state, camera, bg, st, cfg, active_sh_degree, n_shard,
         means2d, splats.depths, projection.bin_radii(radii, opac),
         st.tiles_x, st.tiles_y, st.tile_w, st.tile_h, pair_budget, st.chunk,
     )
-    # ONE packed gather per pair, through the depth-sorted attribute table
+    # ONE packed gather per pair through the depth-sorted attribute table +
+    # zero NULL row (padding pairs index it; no mask pass needed)
     attr = pack_attributes(means2d, splats.conics, colors, opac)
-    sp_attr = attr[ab.depth_order][ab.pair_slot]
-    col_keep = (jnp.arange(ATTR_W) != A_OPAC).astype(jnp.float32)
-    sp_attr = sp_attr * jnp.maximum(
-        ab.valid.astype(jnp.float32)[:, None], col_keep
+    attr_ds = jnp.concatenate(
+        [attr[ab.depth_order], jnp.zeros((1, ATTR_W), jnp.float32)]
     )
+    sp_attr = attr_ds[ab.pair_slot]
 
     # interleaved tile ownership: tile ids me, me+n_shard, ... (padded w/ empty)
     local_ranks = jnp.arange(tiles_per_dev, dtype=jnp.int32)
