@@ -57,6 +57,9 @@ def main(argv=None):
     args = args_mod.get_combined_args(parser, sys.argv[1:] if argv is None else argv)
     print("Rendering " + args.model_path)
 
+    from gs_tpu.utils.console import safe_state
+    safe_state(args.quiet)
+
     import jax.numpy as jnp
 
     from gs_tpu.scene import Scene

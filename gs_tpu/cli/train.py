@@ -51,6 +51,9 @@ def main(argv=None):
 
     print("Optimizing " + (args.model_path or "<auto>"))
 
+    from gs_tpu.utils.console import safe_state
+    safe_state(args.quiet)
+
     if args.detect_anomaly:
         import jax
         jax.config.update("jax_debug_nans", True)  # the TPU-side anomaly mode

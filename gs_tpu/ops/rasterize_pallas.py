@@ -280,7 +280,12 @@ def _bwd_kernel(row_ref, blk_ref, tid_ref, attr_ref,
 
     dattr_ref[:] = jnp.zeros_like(dattr_ref)
 
-    @pl.when(live)
+    # skip chunks entirely past the tile's last contributor: every pair in
+    # them has pos >= ncon (zero grads, identity carries), and with early
+    # termination most of a deep tile's pairs are in that tail
+    has_work = blk_ref[j] * s < jnp.max(ncon_ref[:])
+
+    @pl.when(live & has_work)
     def _():
         tid = tid_ref[jnp.minimum(row, m - 1)]
         px, py = _pixel_coords(tid, st.tiles_x, st.tile_w, st.tile_h, p)

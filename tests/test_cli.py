@@ -16,6 +16,17 @@ from gs_tpu.cli import args as args_mod
 from gs_tpu.config import ModelParams
 
 
+@pytest.fixture(autouse=True)
+def restore_stdout():
+    # the CLIs install the reference-parity safe_state stdout wrapper
+    # (timestamping / --quiet silencing); undo it between tests
+    import sys
+
+    orig = sys.stdout
+    yield
+    sys.stdout = orig
+
+
 @pytest.fixture
 def blender_scene(tmp_path):
     rng = np.random.default_rng(5)
