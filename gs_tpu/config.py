@@ -87,6 +87,7 @@ class RasterizeConfig:
     tile_w: int = 16
     tile_h: int = 16
     chunk: int = 64  # splats per compositing chunk (best on v5e; see benchmarks)
+    tile_batch: int = 256  # XLA backend: tiles vmapped per lax.map step
     pair_budget_factor: float = 8.0  # MAX_PAIRS = factor * capacity (tile-overlap duplication)
     min_pair_budget: int = 1 << 14
     backend: str = "auto"  # "auto" | "pallas" | "xla" | "oracle"

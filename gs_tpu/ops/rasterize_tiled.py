@@ -461,7 +461,7 @@ def rasterize_tiled(
         tile_w=cfg.tile_w,
         tile_h=cfg.tile_h,
         chunk=cfg.chunk,
-        tile_batch=getattr(cfg, "tile_batch", 256),
+        tile_batch=cfg.tile_batch,
         backend=resolve_backend(cfg.backend),
     )
     tile_color, tile_t, _ = composite_tiles(

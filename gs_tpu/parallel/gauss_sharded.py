@@ -57,6 +57,27 @@ def shard_specs(template, capacity: int):
     return jax.tree.map(spec, template)
 
 
+def compact_visible(packed: jnp.ndarray, budget: int):
+    """Stream-compact visible splats into a fixed ``budget`` of rows.
+
+    The visible-splat all-gather optimization (SURVEY.md §2.4 row 4): most
+    Gaussians are frustum-culled or opacity-culled for any one view (bin
+    radius 0), so communicating only the survivors shrinks the all_gather
+    by the visibility ratio. Classic cumsum+scatter compaction — rows beyond
+    the budget are dropped (callers watch ``num_visible`` and grow, the same
+    contract as the pair budget). Dropped/empty rows are all-zero: radius 0,
+    opacity 0 — inert in binning.
+
+    Returns (compacted [budget, SPLAT_W], num_visible scalar).
+    """
+    visible = packed[:, ATTR_W + 1] > 0  # bin radius column
+    pos = jnp.cumsum(visible.astype(jnp.int32)) - 1
+    num_visible = pos[-1] + 1 if packed.shape[0] > 0 else jnp.int32(0)
+    dest = jnp.where(visible, jnp.minimum(pos, budget), budget)  # drop row
+    out = jnp.zeros((budget + 1, SPLAT_W), packed.dtype).at[dest].set(packed)
+    return out[:budget], num_visible
+
+
 def _project_local(state, camera, active_sh_degree, means2d_offset):
     """Project this device's Gaussian shard -> packed [local, 11] splats."""
     cov3d = projection.compute_cov3d(state.log_scale, state.quat, 1.0)
@@ -128,6 +149,7 @@ def make_gauss_sharded_train_step(
     capacity: int,
     active_sh_degree: int,
     pair_budget: int | None = None,
+    visible_budget: int | None = None,
 ):
     """Jitted train step with Gaussian state + Adam sharded over ``shard``.
 
@@ -135,6 +157,12 @@ def make_gauss_sharded_train_step(
     camera batch sharded over ``data``, replicated bg/iteration/lr-scale.
     Outputs keep the same shardings. Every device touches only
     capacity / n_shard Gaussians of parameter + optimizer memory.
+
+    ``visible_budget`` (per-shard rows) enables visible-splat compaction
+    before the all_gather: communication and the gathered table shrink from
+    capacity to n_shard * visible_budget. Splats beyond the budget on any
+    one shard are dropped for that step (size it to the worst-case
+    visibility ratio; None = gather everything, exact).
     """
     n_data, n_shard = mesh.shape[DATA_AXIS], mesh.shape[SHARD_AXIS]
     if capacity % n_shard != 0:
@@ -150,7 +178,7 @@ def make_gauss_sharded_train_step(
     st = CompositeStatic(
         tiles_x=tiles_x, tiles_y=tiles_y, tile_w=raster_cfg.tile_w,
         tile_h=raster_cfg.tile_h, chunk=raster_cfg.chunk,
-        tile_batch=getattr(raster_cfg, "tile_batch", 256),
+        tile_batch=raster_cfg.tile_batch,
         backend=resolve_backend(raster_cfg.backend),
     )
 
@@ -165,6 +193,8 @@ def make_gauss_sharded_train_step(
         def loss_fn(p, offset):
             s = state.with_params(p)
             packed, radii = _project_local(s, cam, active_sh_degree, offset)
+            if visible_budget is not None:
+                packed, _ = compact_visible(packed, visible_budget)
             table = jax.lax.all_gather(packed, SHARD_AXIS, axis=0, tiled=True)
             img = _render_from_gathered(table, cam, bg, st, n_shard,
                                         pair_budget)

@@ -140,7 +140,7 @@ def make_sharded_train_step(
     st = CompositeStatic(
         tiles_x=tiles_x, tiles_y=tiles_y, tile_w=raster_cfg.tile_w,
         tile_h=raster_cfg.tile_h, chunk=raster_cfg.chunk,
-        tile_batch=getattr(raster_cfg, "tile_batch", 256),
+        tile_batch=raster_cfg.tile_batch,
         backend=resolve_backend(raster_cfg.backend),
     )
 
@@ -239,7 +239,7 @@ def make_sharded_render(
     st = CompositeStatic(
         tiles_x=tiles_x, tiles_y=tiles_y, tile_w=raster_cfg.tile_w,
         tile_h=raster_cfg.tile_h, chunk=raster_cfg.chunk,
-        tile_batch=getattr(raster_cfg, "tile_batch", 256),
+        tile_batch=raster_cfg.tile_batch,
         backend=resolve_backend(raster_cfg.backend),
     )
 

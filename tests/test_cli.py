@@ -77,7 +77,57 @@ class TestArgsSystem:
             args_mod.parse_saved_namespace("Namespace(x=__import__('os'))")
 
 
+@pytest.fixture
+def colmap_scene(tmp_path):
+    import math as _math
+
+    from gs_tpu.data import colmap
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "colmap"
+    sparse = root / "sparse" / "0"
+    sparse.mkdir(parents=True)
+    img_dir = root / "images"
+    img_dir.mkdir()
+    cams = {1: colmap.ColmapCamera(1, "PINHOLE", 64, 48,
+                                   np.array([60.0, 60.0, 32.0, 24.0]))}
+    imgs = {}
+    for i in range(9):
+        ang = 2 * _math.pi * i / 9
+        qvec = np.array([_math.cos(ang / 2), 0.0, _math.sin(ang / 2), 0.0])
+        name = f"img_{i:03d}.png"
+        imgs[i + 1] = colmap.ColmapImage(i + 1, qvec, np.array([0.0, 0.0, 4.0]),
+                                         1, name)
+        Image.fromarray(rng.integers(0, 255, (48, 64, 3)).astype(np.uint8)).save(
+            img_dir / name
+        )
+    colmap.write_cameras_binary(cams, str(sparse / "cameras.bin"))
+    colmap.write_images_binary(imgs, str(sparse / "images.bin"))
+    colmap.write_points3d_binary(
+        rng.uniform(-1, 1, (400, 3)), rng.integers(0, 255, (400, 3)),
+        str(sparse / "points3D.bin"),
+    )
+    return root
+
+
 class TestTrainRenderMetrics:
+    def test_colmap_train_path(self, colmap_scene, tmp_path):
+        """train CLI end-to-end on a COLMAP-layout dataset (binary sparse)."""
+        from gs_tpu.cli import train as train_cli
+
+        out = str(tmp_path / "colmap_model")
+        train_cli.main([
+            "-s", str(colmap_scene), "-m", out, "--eval",
+            "--iterations", "3", "--test_iterations", "-1",
+            "--save_iterations", "3", "--quiet", "--disable_viewer",
+            "--raster_backend", "xla",
+        ])
+        assert os.path.exists(
+            os.path.join(out, "point_cloud", "iteration_3", "point_cloud.ply")
+        )
+        assert os.path.exists(os.path.join(out, "input.ply"))
+        assert os.path.exists(os.path.join(out, "cameras.json"))
+
     def test_end_to_end(self, blender_scene, tmp_path):
         from gs_tpu.cli import metrics as metrics_cli
         from gs_tpu.cli import render as render_cli

@@ -115,6 +115,65 @@ class TestGaussianSharded:
         # outputs keep the sharded layout (leading axis over 'shard')
         assert s_state.xyz.sharding.spec[0] == mesh_mod.SHARD_AXIS
 
+    def test_visible_compaction_exact_when_budget_suffices(self):
+        from gs_tpu.parallel.gauss_sharded import make_gauss_sharded_train_step
+        from gs_tpu.training import train_step
+
+        st, cam = _scene()
+        opt_cfg = OptimizationParams()
+        mesh = mesh_mod.make_mesh(data=1)
+        # local_cap = 64/8 = 8; budget 8 holds every possibly-visible splat
+        step = make_gauss_sharded_train_step(
+            mesh, opt_cfg, RCFG, H, W, st.capacity, 1, visible_budget=8
+        )
+        adam = optim.init(st.params())
+        stats = densify.DensifyStats.zeros(st.capacity)
+        s_state, _, _, s_loss = step(
+            st, adam, stats, cameras.stack_cameras([cam]), jnp.zeros(3),
+            jnp.int32(0), jnp.float32(1.0)
+        )
+        _, _, _, m = train_step(
+            st, adam, stats, cam, jnp.zeros(3), jnp.int32(0), jnp.float32(1.0),
+            active_sh_degree=1, opt_cfg=opt_cfg, raster_cfg=RCFG,
+            accumulate_stats=True,
+        )
+        np.testing.assert_allclose(float(s_loss), float(m["loss"]), rtol=1e-5)
+
+    def test_visible_compaction_lossy_budget_still_runs(self):
+        from gs_tpu.parallel.gauss_sharded import make_gauss_sharded_train_step
+
+        st, cam = _scene()
+        mesh = mesh_mod.make_mesh(data=1)
+        step = make_gauss_sharded_train_step(
+            mesh, OptimizationParams(), RCFG, H, W, st.capacity, 1,
+            visible_budget=2,  # deliberately too small: splats dropped
+        )
+        adam = optim.init(st.params())
+        stats = densify.DensifyStats.zeros(st.capacity)
+        s_state, _, _, loss = step(
+            st, adam, stats, cameras.stack_cameras([cam]), jnp.zeros(3),
+            jnp.int32(0), jnp.float32(1.0)
+        )
+        assert np.isfinite(float(loss))
+        assert bool(jnp.all(jnp.isfinite(s_state.xyz)))
+
+    def test_compact_visible_semantics(self):
+        from gs_tpu.parallel.gauss_sharded import SPLAT_W, compact_visible
+
+        rng = np.random.default_rng(0)
+        packed = rng.normal(size=(16, SPLAT_W)).astype(np.float32)
+        vis = np.zeros(16, bool)
+        vis[[1, 4, 5, 11]] = True
+        packed[:, -1] = np.where(vis, 3.0, 0.0)  # bin radius column
+        out, n = compact_visible(jnp.asarray(packed), budget=8)
+        assert int(n) == 4
+        np.testing.assert_array_equal(np.asarray(out[:4]), packed[vis])
+        assert not np.any(np.asarray(out[4:]))  # tail rows inert zeros
+        # overflow: budget 2 keeps the first two visibles
+        out2, n2 = compact_visible(jnp.asarray(packed), budget=2)
+        assert int(n2) == 4
+        np.testing.assert_array_equal(np.asarray(out2), packed[vis][:2])
+
     def test_state_specs_shard_every_array_leaf(self):
         from jax.sharding import PartitionSpec as P
 

@@ -58,7 +58,7 @@ class TestGuiServer:
         received = {}
 
         def client():
-            conn = socket.create_connection(("127.0.0.1", port), timeout=10)
+            conn = socket.create_connection(("127.0.0.1", port), timeout=240)
             msg = json.dumps(_client_message(
                 w, h, wire_view.reshape(-1).tolist(),
                 wire_viewproj.reshape(-1).tolist(),
@@ -79,13 +79,13 @@ class TestGuiServer:
         try:
             import time
 
-            deadline = time.time() + 10
+            deadline = time.time() + 60
             while server.conn is None and time.time() < deadline:
                 server.try_connect()
                 time.sleep(0.02)
             assert server.conn is not None, "client never connected"
             server.poll(ts, RasterizeConfig(backend="xla", chunk=32))
-            t.join(timeout=20)
+            t.join(timeout=240)
         finally:
             server.close()
         assert received["verify"] == "/data/scene"
@@ -97,7 +97,7 @@ class TestGuiServer:
         result = {}
 
         def client():
-            conn = socket.create_connection(("127.0.0.1", port), timeout=10)
+            conn = socket.create_connection(("127.0.0.1", port), timeout=240)
             msg = json.dumps(_client_message(0, 0, [], [])).encode()
             conn.sendall(len(msg).to_bytes(4, "little"))
             conn.sendall(msg)
@@ -110,7 +110,7 @@ class TestGuiServer:
         try:
             import time
 
-            deadline = time.time() + 10
+            deadline = time.time() + 60
             while server.conn is None and time.time() < deadline:
                 server.try_connect()
                 time.sleep(0.02)
@@ -119,7 +119,7 @@ class TestGuiServer:
             cam, do_training, keep_alive, _ = server.receive()
             assert cam is None
             server.send(None, server.source_path)
-            t.join(timeout=10)
+            t.join(timeout=240)
         finally:
             server.close()
         assert result["verify"] == ""
