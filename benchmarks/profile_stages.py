@@ -66,7 +66,8 @@ def main():
     def stage_project(state):
         cov3d = projection.compute_cov3d(state.log_scale, state.quat, 1.0)
         s = projection.project_gaussians(state.xyz, cov3d, cam)
-        colors = projection.sh_colors(state.xyz, state.features, cam.cam_pos, 3)
+        colors = projection.sh_colors(state.xyz, state.features_dc,
+                                      state.features_rest, cam.cam_pos, 3)
         return s.means2d, s.conics, colors, s.depths, s.radii
 
     t = timeit(stage_project, state)
