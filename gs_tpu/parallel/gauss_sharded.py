@@ -24,9 +24,10 @@ all_gather VJP; the splat psum_scatter performs the true over-devices sum.
 Dividing by n_shard recovers the exact single-device gradient (verified
 against the single-device train_step in tests/test_sharding.py).
 
-Future work (noted, not yet built): visibility compaction before the
-all_gather (communicate only radii>0 splats into a fixed budget) and
-periodic shard rebalancing after densification.
+Optional: ``visible_budget`` enables :func:`compact_visible` so only
+radii>0 splats (up to a fixed per-shard budget) are communicated.
+Future work (noted, not yet built): periodic shard rebalancing after
+densification.
 """
 
 from __future__ import annotations
@@ -38,7 +39,7 @@ from jax.sharding import PartitionSpec as P
 from gs_tpu.config import OptimizationParams, RasterizeConfig
 from gs_tpu.models import densify, optim
 from gs_tpu.ops import binning, projection
-from gs_tpu.ops.rasterize_tiled import (A_OPAC, ATTR_W, CompositeStatic,
+from gs_tpu.ops.rasterize_tiled import (ATTR_W, CompositeStatic,
                                         composite_tiles, pack_attributes,
                                         resolve_backend)
 from gs_tpu.parallel.mesh import DATA_AXIS, SHARD_AXIS

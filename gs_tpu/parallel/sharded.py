@@ -28,20 +28,18 @@ compact visible splats instead (SURVEY.md §2.4 rows 2-4).
 
 from __future__ import annotations
 
-import functools
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from gs_tpu.cameras import Camera
+
 from gs_tpu.config import OptimizationParams, RasterizeConfig
 from gs_tpu.models import densify, optim
-from gs_tpu.models.gaussians import GaussianState
+
 from gs_tpu.ops import binning, projection
-from gs_tpu.ops.rasterize_tiled import (A_OPAC, ATTR_W, CompositeStatic,
+from gs_tpu.ops.rasterize_tiled import (ATTR_W, CompositeStatic,
                                         composite_tiles, pack_attributes,
                                         resolve_backend)
 from gs_tpu.parallel.mesh import DATA_AXIS, SHARD_AXIS

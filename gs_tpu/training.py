@@ -21,12 +21,11 @@ Schedule parity (train.py):
 from __future__ import annotations
 
 import dataclasses
-import math
 import random
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
