@@ -123,12 +123,19 @@ def make_camera(
     scale: float = 1.0,
     znear: float = DEFAULT_ZNEAR,
     zfar: float = DEFAULT_ZFAR,
+    data_device: str = "tpu",
 ) -> Camera:
     """Build a :class:`Camera` from COLMAP-convention extrinsics.
 
     Mirrors ``Camera.__init__`` (``scene/cameras.py:30-121``): view matrix via
     ``getWorld2View2``, projection via ``getProjectionMatrix``, camera center
     from the inverse view matrix.
+
+    ``data_device`` is the reference's ``--data_device`` staging policy
+    (``arguments/__init__.py:59``, ``scene/cameras.py:70-77``): ``"cpu"``
+    keeps the ground-truth image host-side (numpy) and lets each jitted step
+    transfer it on use — trades per-step H2D copies for device memory on
+    large datasets. Any other value stages the image onto the default device.
     """
     view = make_view_matrix(R, T, translate, scale)
     proj = make_projection_matrix(znear, zfar, fovx, fovy)
@@ -142,7 +149,9 @@ def make_camera(
         tan_fovy=jnp.float32(math.tan(fovy / 2.0)),
         width=int(width),
         height=int(height),
-        image=None if image is None else jnp.asarray(image, dtype=jnp.float32),
+        image=(None if image is None
+               else np.asarray(image, dtype=np.float32) if data_device == "cpu"
+               else jnp.asarray(image, dtype=jnp.float32)),
         znear=jnp.float32(znear),
         zfar=jnp.float32(zfar),
     )

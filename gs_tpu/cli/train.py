@@ -46,6 +46,15 @@ def main(argv=None):
                         choices=["auto", "pallas", "xla", "oracle"])
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="write a jax.profiler trace of iterations 50-60")
+    parser.add_argument("--data_parallel", type=int, default=1,
+                        help="mesh data axis: cameras per step")
+    parser.add_argument("--shard_parallel", type=int, default=1,
+                        help="mesh shard axis: tiles or gaussians")
+    parser.add_argument("--parallel_layout", type=str, default="tile",
+                        choices=["tile", "gauss"],
+                        help="shard axis meaning (see ParallelConfig)")
+    parser.add_argument("--visible_budget", type=int, default=None,
+                        help="gauss layout: per-shard visible-splat budget")
     args = parser.parse_args(sys.argv[1:] if argv is None else argv)
     args.save_iterations.append(args.iterations)
 
@@ -53,6 +62,18 @@ def main(argv=None):
 
     from gs_tpu.utils.console import safe_state
     safe_state(args.quiet)
+
+    # multi-host runtime: initialize from env before any jax device use
+    # (SURVEY.md §2.4 device-mesh row; no-op single-process)
+    n_proc = int(os.environ.get("GS_TPU_NUM_PROCESSES", "1"))
+    if n_proc > 1:
+        from gs_tpu.parallel.mesh import init_distributed
+
+        init_distributed(
+            coordinator=os.environ.get("GS_TPU_COORDINATOR", "127.0.0.1:8476"),
+            num_processes=n_proc,
+            process_id=int(os.environ.get("GS_TPU_PROCESS_ID", "0")),
+        )
 
     if args.detect_anomaly:
         import jax
@@ -83,6 +104,17 @@ def main(argv=None):
             print(f"[{it:6d}] loss {m['ema_loss']:.5f}  "
                   f"visible {int(m.get('n_visible', 0))}", flush=True)
 
+    parallel = None
+    if args.data_parallel * args.shard_parallel > 1:
+        from gs_tpu.config import ParallelConfig
+
+        parallel = ParallelConfig(
+            data_parallel=args.data_parallel,
+            shard_parallel=args.shard_parallel,
+            layout=args.parallel_layout,
+            visible_budget=args.visible_budget,
+        )
+
     raster_cfg = RasterizeConfig(backend=args.raster_backend)
     run_training(
         scene,
@@ -97,6 +129,8 @@ def main(argv=None):
         progress=progress,
         gui_server=gui_server,
         profile_dir=args.profile_dir,
+        debug_from=args.debug_from,
+        parallel=parallel,
     )
     if gui_server is not None:
         gui_server.close()

@@ -98,12 +98,25 @@ class RasterizeConfig:
 
 @dataclass(frozen=True)
 class ParallelConfig:
-    """Device-mesh layout. axes: data-parallel cameras x tile/gaussian sharding."""
+    """Device-mesh layout. axes: data-parallel cameras x tile/gaussian sharding.
+
+    ``layout`` picks the shard-axis meaning:
+      - "tile": parameters replicated, image tiles sharded
+        (gs_tpu.parallel.sharded) — fastest when the model fits every chip.
+      - "gauss": parameters + Adam + stats sharded over Gaussians with a
+        visible-splat all_gather (gs_tpu.parallel.gauss_sharded) — for N
+        beyond one chip; densify/rebalance via
+        gs_tpu.parallel.densify_sharded.
+    """
 
     data_axis: str = "data"
     shard_axis: str = "shard"  # shards tiles (fwd) and gaussians (params/grads)
     data_parallel: int = 1
     shard_parallel: int = 1
+    layout: str = "tile"  # "tile" | "gauss"
+    visible_budget: int | None = None  # gauss layout: per-shard splat budget
+    rebalance_skew: float = 1.25  # gauss layout: rebalance when max/mean exceeds
+    migration_budget: int = 4096  # rows per shard per rebalance round
 
 
 def asdict_shallow(cfg) -> dict:

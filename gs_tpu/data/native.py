@@ -110,10 +110,19 @@ def read_images_binary(path: str):
     qvecs = np.empty((n, 4), np.float64)
     tvecs = np.empty((n, 3), np.float64)
     camera_ids = np.empty((n,), np.int32)
-    name_buf = ctypes.create_string_buffer(max(n, 1) * 512)
-    rc = lib.gs_colmap_read_images(path.encode(), n, _ptr(image_ids),
-                                   _ptr(qvecs), _ptr(tvecs), _ptr(camera_ids),
-                                   name_buf, len(name_buf))
+    # rc -6 = name buffer too small (average path length > the sizing guess):
+    # grow and retry instead of failing the whole fast path over long names
+    name_bytes = 512
+    while True:
+        name_buf = ctypes.create_string_buffer(max(n, 1) * name_bytes)
+        rc = lib.gs_colmap_read_images(path.encode(), n, _ptr(image_ids),
+                                       _ptr(qvecs), _ptr(tvecs),
+                                       _ptr(camera_ids), name_buf,
+                                       len(name_buf))
+        if rc == -6 and name_bytes < 1 << 16:
+            name_bytes *= 8
+            continue
+        break
     if rc != 0:
         raise IOError(f"gs_native: images parse failed ({rc})")
     names = bytes(name_buf.raw).split(b"\x00")[:n]

@@ -102,8 +102,17 @@ def densify_and_prune(
     extent: float,
     percent_dense: float,
     use_size_prune: bool,
+    slot_offset: jax.Array | int = 0,
 ) -> tuple[GaussianState, AdamState, DensifyStats, DensifyReport]:
-    """One densification round (``densify_and_prune``, gaussian_model.py:536-562)."""
+    """One densification round (``densify_and_prune``, gaussian_model.py:536-562).
+
+    ``slot_offset``: global index of slot 0 (0 for the replicated layout).
+    Split-child noise is drawn per *global parent slot* (fold_in of ``key``),
+    so a Gaussian-sharded run (each shard passing its offset) draws the same
+    noise as a replicated run whenever the parents occupy the same global
+    slots — which makes sharded-vs-replicated densify rounds exactly
+    comparable from a common starting layout (tests/test_sharding.py).
+    """
     cap = state.capacity
     alive = state.alive
 
@@ -164,7 +173,13 @@ def densify_and_prune(
 
     # split children: xyz sampled from N(mean, Sigma), scale shrunk
     rot = transforms.quat_to_rotmat(state.quat)  # [C,3,3]
-    eps = jax.random.normal(key, (SPLIT_N, cap, 3), jnp.float32)
+    slot_ids = jnp.arange(cap, dtype=jnp.int32) + slot_offset
+    slot_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(slot_ids)
+    eps = jnp.swapaxes(
+        jax.vmap(lambda k: jax.random.normal(k, (SPLIT_N, 3), jnp.float32))(
+            slot_keys
+        ), 0, 1,
+    )  # [SPLIT_N, cap, 3], a function of (key, global slot) only
     offsets = jnp.einsum("nij,knj->kni", rot, eps * scaling[None, :, :])
     split_xyz = state.xyz[None] + offsets  # [SPLIT_N, C, 3]
     split_log_scale = jnp.log(child_scale)

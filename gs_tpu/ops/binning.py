@@ -70,55 +70,6 @@ class TileBinning(NamedTuple):
     depth_order: jnp.ndarray  # [N] int32, Gaussian indices sorted by depth
 
 
-class AlignedBinning(NamedTuple):
-    """Chunk-aligned re-layout of a :class:`TileBinning`.
-
-    Every tile's pair range is padded (in place, per tile) to a multiple of
-    ``align`` so chunked compositing kernels can process whole fixed-size
-    blocks with no partial-chunk edge handling. Padding slots have
-    ``valid == False`` and gauss index 0; callers must zero their opacity.
-    """
-
-    pair_gauss: jnp.ndarray  # [AB] int32, original Gaussian index per slot
-    valid: jnp.ndarray  # [AB] bool, False for per-tile alignment padding
-    starts: jnp.ndarray  # [T] int32 aligned range start per tile (mult. of align)
-    ends: jnp.ndarray  # [T] int32 aligned range end per tile (mult. of align)
-
-
-def aligned_budget(pair_budget: int, num_tiles: int, align: int) -> int:
-    """Static buffer size for :func:`align_tile_ranges` (exact worst case)."""
-    return -(-(pair_budget + num_tiles * (align - 1)) // align) * align
-
-
-def align_tile_ranges(b: TileBinning, num_tiles: int, align: int) -> AlignedBinning:
-    """Re-scatter sorted pairs so each tile's range is ``align``-padded.
-
-    The depth order within each tile is preserved (rank-preserving scatter).
-    """
-    budget = b.pair_gauss.shape[0]
-    abudget = aligned_budget(budget, num_tiles, align)
-
-    counts = b.tile_offsets[1:] - b.tile_offsets[:-1]  # [T]
-    acounts = -(-counts // align) * align
-    astarts = jnp.cumsum(acounts) - acounts  # [T]
-    aends = astarts + acounts
-
-    slot = jnp.arange(budget, dtype=jnp.int32)
-    is_valid = b.pair_tile < num_tiles
-    tile = jnp.minimum(b.pair_tile, num_tiles - 1)
-    rank = slot - b.tile_offsets[tile]
-    dest = jnp.where(is_valid, astarts[tile] + rank, abudget)  # sentinel drop row
-
-    pair_gauss = jnp.zeros(abudget + 1, jnp.int32).at[dest].set(b.pair_gauss)[:abudget]
-    valid = jnp.zeros(abudget + 1, bool).at[dest].set(is_valid)[:abudget]
-    return AlignedBinning(
-        pair_gauss=pair_gauss,
-        valid=valid,
-        starts=astarts.astype(jnp.int32),
-        ends=aends.astype(jnp.int32),
-    )
-
-
 class AlignedBinningOut(NamedTuple):
     """Direct chunk-aligned binning result (single-sort fast path).
 
@@ -155,7 +106,7 @@ def bin_gaussians_aligned(
 ) -> AlignedBinningOut:
     """One-sort aligned binning, tuned for TPU gather/scatter costs.
 
-    Strategy (vs :func:`bin_gaussians` + :func:`align_tile_ranges`): B-length
+    Strategy (vs sorting pairs then re-scattering to an aligned layout): B-length
     random gathers and scatters dominate on TPU (~25ms per 2M rows) while
     ``lax.sort`` is cheap (~10ms for 3M keys+payload). So instead of sorting
     pairs and then re-scattering into an aligned layout, per-tile alignment

@@ -100,7 +100,7 @@ def _suffix_sum_strict(x):
 
 
 def _chunk_alpha(attr, px, py):
-    """alpha/power for one chunk: attr[S,16] vs px/py[1,P]."""
+    """alpha/power for one chunk: attr[S, ATTR_W] vs px/py[1,P]."""
     dx = attr[:, 0:1] - px
     dy = attr[:, 1:2] - py
     power = (

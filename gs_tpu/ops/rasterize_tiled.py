@@ -77,7 +77,7 @@ def resolve_backend(backend: str) -> str:
 
 
 def pack_attributes(means2d, conics, colors, opacities):
-    """[N,2]+[N,3]+[N,3]+[N] -> [N,16] packed splat attributes."""
+    """[N,2]+[N,3]+[N,3]+[N] -> [N, ATTR_W] packed splat attributes."""
     n = means2d.shape[0]
     return jnp.concatenate(
         [
@@ -108,7 +108,7 @@ class CompositeStatic(NamedTuple):
 
 
 def _chunk_alpha(attr, px, py):
-    """alpha/power for a chunk: attr[S,16] vs px/py[P]."""
+    """alpha/power for a chunk: attr[S, ATTR_W] vs px/py[P]."""
     dx = attr[:, 0:1] - px[None, :]
     dy = attr[:, 1:2] - py[None, :]
     power = (
@@ -209,7 +209,7 @@ def _composite_fwd_xla(st, sp_attr, tile_ids, starts, ends):
 
 def _backward_chunk(st, px, py, attr, pos, end, ncon, g_color, g_t, t_end,
                     s_suffix):
-    """Reverse-replay one chunk; returns (d_attr [S,16], t_start, s_suffix').
+    """Reverse-replay one chunk; returns (d_attr [S, ATTR_W], t_start, s_suffix').
 
     Derivation (per pixel; i over contributing splats):
       C = sum_i w_i c_i,  w_i = alpha_i T_i,  T_i = prod_{j<i} (1-alpha_j)
@@ -379,7 +379,7 @@ def _composite_bwd_xla(st, residuals, cotangents):
 def composite_tiles(st: CompositeStatic, sp_attr, tile_ids, starts, ends):
     """Composite an explicit tile set (supports tile sharding).
 
-    ``sp_attr`` is the packed [B,16] per-pair attribute array (see
+    ``sp_attr`` is the packed [B, ATTR_W] per-pair attribute array (see
     :func:`pack_attributes`). Returns (colors [M,P,3], T_final [M,P],
     ncon [M,P]) for the M tiles in ``tile_ids``; ``starts``/``ends`` are
     their pair ranges.

@@ -1,8 +1,8 @@
 """Real spherical-harmonics evaluation for view-dependent Gaussian color.
 
 Behavioral parity: reference ``utils/sh_utils.py:26-118`` (PlenOctree constants,
-degrees 0..3 used in training; the PLY format carries up to degree 3 = 16
-coefficients per channel).
+degrees 0..4; training and the PLY format use up to degree 3 = 16 coefficients
+per channel, degree 4 is carried for surface parity).
 
 TPU notes: evaluated in plain JAX — this is pure elementwise VPU work that XLA
 fuses into the projection preprocess. Shapes are static; the *active* degree is
@@ -31,6 +31,17 @@ C3 = (
     1.445305721320277,
     -0.5900435899266435,
 )
+C4 = (
+    2.5033429417967046,
+    -1.7701307697799304,
+    0.9461746957575601,
+    -0.6690465435572892,
+    0.10578554691520431,
+    -0.6690465435572892,
+    0.47308734787878004,
+    -1.7701307697799304,
+    0.6258357354491761,
+)
 
 
 def num_sh_coeffs(degree: int) -> int:
@@ -44,8 +55,8 @@ def eval_sh_basis(deg: int, dirs: jnp.ndarray) -> list[jnp.ndarray]:
     coefficient slices in any memory layout (avoids the [N,K,C]<->[N,C,K]
     transpose that dominates SH evaluation cost on TPU otherwise).
     """
-    if not 0 <= deg <= 3:
-        raise ValueError(f"sh degree must be in [0, 3], got {deg}")
+    if not 0 <= deg <= 4:
+        raise ValueError(f"sh degree must be in [0, 4], got {deg}")
     one = jnp.ones_like(dirs[..., 0:1])
     basis = [C0 * one]
     if deg > 0:
@@ -73,6 +84,20 @@ def eval_sh_basis(deg: int, dirs: jnp.ndarray) -> list[jnp.ndarray]:
                     C3[5] * z * (xx - yy),
                     C3[6] * x * (xx - 3.0 * yy),
                 ]
+                if deg > 3:
+                    # degree 4 (utils/sh_utils.py:45-54,103-112): unused by
+                    # training (max PLY degree is 3) but part of the surface
+                    basis += [
+                        C4[0] * xy * (xx - yy),
+                        C4[1] * yz * (3.0 * xx - yy),
+                        C4[2] * xy * (7.0 * zz - 1.0),
+                        C4[3] * yz * (7.0 * zz - 3.0),
+                        C4[4] * (zz * (35.0 * zz - 30.0) + 3.0),
+                        C4[5] * xz * (7.0 * zz - 3.0),
+                        C4[6] * (xx - yy) * (7.0 * zz - 1.0),
+                        C4[7] * xz * (xx - 3.0 * yy),
+                        C4[8] * (xx * (xx - 3.0 * yy) - yy * (3.0 * xx - yy)),
+                    ]
     return basis
 
 
@@ -80,7 +105,7 @@ def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     """Evaluate SH polynomials at unit directions.
 
     Args:
-      deg: static int, 0..3.
+      deg: static int, 0..4.
       sh: ``[..., C, K]`` coefficients with ``K >= (deg+1)**2``.
       dirs: ``[..., 3]`` unit directions (Gaussian center minus camera center,
         normalized).
@@ -88,8 +113,8 @@ def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     Returns:
       ``[..., C]`` color (pre +0.5 shift; callers clamp ``result + 0.5`` at 0).
     """
-    if not 0 <= deg <= 3:
-        raise ValueError(f"sh degree must be in [0, 3], got {deg}")
+    if not 0 <= deg <= 4:
+        raise ValueError(f"sh degree must be in [0, 4], got {deg}")
     if sh.shape[-1] < num_sh_coeffs(deg):
         raise ValueError(f"sh has {sh.shape[-1]} coeffs; degree {deg} needs {num_sh_coeffs(deg)}")
 
@@ -121,6 +146,19 @@ def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
                     + C3[5] * z * (xx - yy) * sh[..., 14]
                     + C3[6] * x * (xx - 3.0 * yy) * sh[..., 15]
                 )
+                if deg > 3:
+                    result = (
+                        result
+                        + C4[0] * xy * (xx - yy) * sh[..., 16]
+                        + C4[1] * yz * (3.0 * xx - yy) * sh[..., 17]
+                        + C4[2] * xy * (7.0 * zz - 1.0) * sh[..., 18]
+                        + C4[3] * yz * (7.0 * zz - 3.0) * sh[..., 19]
+                        + C4[4] * (zz * (35.0 * zz - 30.0) + 3.0) * sh[..., 20]
+                        + C4[5] * xz * (7.0 * zz - 3.0) * sh[..., 21]
+                        + C4[6] * (xx - yy) * (7.0 * zz - 1.0) * sh[..., 22]
+                        + C4[7] * xz * (xx - 3.0 * yy) * sh[..., 23]
+                        + C4[8] * (xx * (xx - 3.0 * yy) - yy * (3.0 * xx - yy)) * sh[..., 24]
+                    )
     return result
 
 

@@ -25,9 +25,10 @@ Dividing by n_shard recovers the exact single-device gradient (verified
 against the single-device train_step in tests/test_sharding.py).
 
 Optional: ``visible_budget`` enables :func:`compact_visible` so only
-radii>0 splats (up to a fixed per-shard budget) are communicated.
-Future work (noted, not yet built): periodic shard rebalancing after
-densification.
+radii>0 splats (up to a fixed per-shard budget) are communicated; the step
+reports ``num_visible_max`` so the trainer can grow the budget on overflow.
+Densify/prune on this layout and post-densify shard rebalancing live in
+:mod:`gs_tpu.parallel.densify_sharded`.
 """
 
 from __future__ import annotations
@@ -195,14 +196,16 @@ def make_gauss_sharded_train_step(
             s = state.with_params(p)
             packed, radii = _project_local(s, cam, active_sh_degree, offset)
             if visible_budget is not None:
-                packed, _ = compact_visible(packed, visible_budget)
+                packed, num_vis = compact_visible(packed, visible_budget)
+            else:
+                num_vis = jnp.sum((packed[:, ATTR_W + 1] > 0).astype(jnp.int32))
             table = jax.lax.all_gather(packed, SHARD_AXIS, axis=0, tiled=True)
             img = _render_from_gathered(table, cam, bg, st, n_shard,
                                         pair_budget)
             loss = losses.photometric_loss(img, cam.image, opt_cfg.lambda_dssim)
-            return loss, radii
+            return loss, (radii, num_vis)
 
-        (loss, radii), (g_params, g_offset) = jax.value_and_grad(
+        (loss, (radii, num_vis)), (g_params, g_offset) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(params, offset0)
 
@@ -241,7 +244,16 @@ def make_gauss_sharded_train_step(
             denom=stats.denom + d_denom,
             max_radii2d=jnp.maximum(stats.max_radii2d, r_max),
         )
-        return state.with_params(new_params), new_adam, new_stats, loss
+        # num_visible_max: worst per-shard visible count — the caller watches
+        # it and grows visible_budget on overflow, the same contract as the
+        # pair budget (silent truncation otherwise)
+        metrics = {
+            "loss": loss,
+            "num_visible_max": jax.lax.pmax(
+                jax.lax.pmax(num_vis, SHARD_AXIS), DATA_AXIS
+            ),
+        }
+        return state.with_params(new_params), new_adam, new_stats, metrics
 
     # shard every [capacity]-leading leaf; replicate scalars (Adam steps)
     from gs_tpu.models import gaussians as gmod
@@ -259,7 +271,7 @@ def make_gauss_sharded_train_step(
         shard_specs(state_t, capacity),
         shard_specs(adam_t, capacity),
         shard_specs(stats_t, capacity),
-        P(),
+        {"loss": P(), "num_visible_max": P()},
     )
     smapped = jax.shard_map(
         _local_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,

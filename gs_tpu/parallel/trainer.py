@@ -1,0 +1,318 @@
+"""Multi-device training loop: the reference trainer semantics over a mesh.
+
+``run_training`` (gs_tpu.training) delegates here when a
+:class:`~gs_tpu.config.ParallelConfig` with more than one device is given.
+The loop mirrors ``train.py:58-146`` — camera sampling, densify / opacity
+reset / save schedule, eval reporting — but drives the shard_map'd steps:
+
+  - layout "tile": :func:`gs_tpu.parallel.sharded.make_sharded_train_step`
+    (replicated params, tiles + cameras sharded). Densify/reset reuse the
+    single-device jitted ops — state is replicated, GSPMD keeps it so.
+  - layout "gauss": :func:`gs_tpu.parallel.gauss_sharded
+    .make_gauss_sharded_train_step` (params + Adam + stats sharded over
+    Gaussians), with densification via
+    :func:`gs_tpu.parallel.densify_sharded.make_sharded_densify` and
+    occupancy-triggered :func:`...make_sharded_rebalance` — nothing ever
+    materializes the full model on one device.
+
+Batching semantics: each step consumes ``data_parallel`` cameras (gradients
+pmean'd like a batch; densify stats psum'd so one batched step accumulates
+one iteration's worth per camera, matching ``add_densification_stats`` per
+view). One loop iteration == one reference iteration for every schedule
+(lr, SH degree, densify cadence); the extra cameras per step are additional
+signal, the natural data-parallel reading of the reference's one-camera
+loop.
+
+Multi-host: call :func:`gs_tpu.parallel.mesh.init_distributed` first (the
+train CLI does when GS_TPU_NUM_PROCESSES is set); per-host camera ownership
+for the input pipeline lives in :mod:`gs_tpu.data.multihost`.
+"""
+
+from __future__ import annotations
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gs_tpu import cameras as cam_mod
+from gs_tpu.config import (OptimizationParams, ParallelConfig, PipelineParams,
+                           RasterizeConfig)
+from gs_tpu.models import densify, gaussians, optim
+from gs_tpu.parallel import mesh as mesh_mod
+from gs_tpu.parallel.densify_sharded import (make_sharded_densify,
+                                             make_sharded_rebalance,
+                                             shard_occupancy)
+from gs_tpu.parallel.gauss_sharded import (make_gauss_sharded_train_step,
+                                           shard_specs)
+from gs_tpu.parallel.sharded import make_sharded_train_step
+from gs_tpu.utils import profiling
+
+
+def _group_by_resolution(cams):
+    groups: dict[tuple[int, int], list] = {}
+    for c in cams:
+        groups.setdefault((c.width, c.height), []).append(c)
+    return groups
+
+
+class _StepCache:
+    """One compiled sharded step per (resolution, capacity, sh_degree)."""
+
+    def __init__(self, mesh, opt_cfg, raster_cfg, parallel):
+        self.mesh = mesh
+        self.opt_cfg = opt_cfg
+        self.raster_cfg = raster_cfg
+        self.parallel = parallel
+        self._cache = {}
+
+    def step(self, h, w, capacity, sh_degree):
+        key = (h, w, capacity, sh_degree)
+        if key not in self._cache:
+            make = (make_gauss_sharded_train_step
+                    if self.parallel.layout == "gauss"
+                    else make_sharded_train_step)
+            kw = {}
+            if self.parallel.layout == "gauss":
+                kw["visible_budget"] = self.parallel.visible_budget
+            self._cache[key] = make(
+                self.mesh, self.opt_cfg, self.raster_cfg, h, w, capacity,
+                sh_degree, **kw,
+            )
+        return self._cache[key]
+
+
+def run_training_parallel(
+    scene,
+    opt_cfg: OptimizationParams,
+    pipe: PipelineParams,
+    parallel: ParallelConfig,
+    raster_cfg: RasterizeConfig | None = None,
+    white_background: bool = False,
+    test_iterations: tuple[int, ...] = (7000, 30000),
+    save_iterations: tuple[int, ...] = (7000, 30000),
+    checkpoint_iterations: tuple[int, ...] = (),
+    log_every: int = 10,
+    progress=None,
+    seed: int = 0,
+):
+    """The reference training loop over a (data, shard) mesh."""
+    from gs_tpu.training import (evaluate_and_report, eval_render,
+                                 GROW_FACTOR, GROW_WATERMARK, TrainState)
+    from gs_tpu.utils import ckpt as ckpt_mod
+    from gs_tpu.utils import metrics as metrics_mod
+
+    if raster_cfg is None:
+        raster_cfg = RasterizeConfig()
+    random.seed(seed)
+    np.random.seed(seed)
+
+    mesh = mesh_mod.make_mesh(data=parallel.data_parallel,
+                              shard=parallel.shard_parallel)
+    n_data = mesh.shape[mesh_mod.DATA_AXIS]
+    n_shard = mesh.shape[mesh_mod.SHARD_AXIS]
+    gauss_layout = parallel.layout == "gauss"
+    cap_quantum = 4096 * n_shard  # keep capacity divisible by the shard axis
+
+    state = scene.gaussians
+    if state.capacity % n_shard:
+        state = gaussians.grow_capacity(
+            state, -(-state.capacity // cap_quantum) * cap_quantum
+        )
+    max_sh_degree = state.max_sh_degree
+    ts = TrainState(
+        state=state,
+        adam=optim.init(state.params()),
+        stats=densify.DensifyStats.zeros(state.capacity),
+        spatial_lr_scale=scene.cameras_extent,
+        max_sh_degree=max_sh_degree,
+    )
+    if gauss_layout:
+        _place_sharded(ts, mesh)
+
+    steps = _StepCache(mesh, opt_cfg, raster_cfg, parallel)
+    densify_cache: dict[tuple, object] = {}
+    bg_fixed = jnp.asarray(
+        [1.0, 1.0, 1.0] if white_background else [0.0, 0.0, 0.0], jnp.float32
+    )
+
+    groups = _group_by_resolution(scene.get_train_cameras())
+    group_keys = list(groups.keys())
+    viewpoint_stack: list = []
+    key = jax.random.PRNGKey(seed)
+    ema_loss = None
+    timer = profiling.StepTimer()
+
+    for iteration in range(1, opt_cfg.iterations + 1):
+        ts.iteration = iteration
+        timer.start()
+
+        # camera batch: n_data same-resolution cameras (cycled when the
+        # group is smaller than the data axis)
+        if not viewpoint_stack:
+            gk = group_keys[random.randint(0, len(group_keys) - 1)]
+            viewpoint_stack = list(groups[gk])
+            random.shuffle(viewpoint_stack)
+        batch = []
+        res = (viewpoint_stack[-1].width, viewpoint_stack[-1].height)
+        for _ in range(n_data):
+            if not viewpoint_stack or (
+                viewpoint_stack[-1].width, viewpoint_stack[-1].height) != res:
+                viewpoint_stack = [c for c in groups[res]]
+                random.shuffle(viewpoint_stack)
+            batch.append(viewpoint_stack.pop())
+        cam_batch = cam_mod.stack_cameras(batch)
+        w, h = res
+
+        if opt_cfg.random_background:
+            key, sub = jax.random.split(key)
+            bg = jax.random.uniform(sub, (3,), jnp.float32)
+        else:
+            bg = bg_fixed
+
+        in_densify_phase = iteration < opt_cfg.densify_until_iter
+        step = steps.step(h, w, ts.state.capacity, ts.active_sh_degree)
+        ts.state, ts.adam, new_stats, m = step(
+            ts.state, ts.adam, ts.stats, cam_batch, bg,
+            jnp.int32(iteration - 1), jnp.float32(ts.spatial_lr_scale),
+        )
+        metrics = m if isinstance(m, dict) else {"loss": m}
+        if in_densify_phase:
+            ts.stats = new_stats
+
+        sync = (iteration % log_every == 0 or iteration == opt_cfg.iterations
+                or iteration in test_iterations)
+        if sync:
+            loss = float(metrics["loss"])
+            if "num_visible_max" in metrics and parallel.visible_budget:
+                if int(metrics["num_visible_max"]) > parallel.visible_budget:
+                    print(
+                        f"[iter {iteration}] visible budget overflow "
+                        f"({int(metrics['num_visible_max'])} > "
+                        f"{parallel.visible_budget}); splats dropped — raise "
+                        f"ParallelConfig.visible_budget"
+                    )
+            ema_loss = loss if ema_loss is None else 0.4 * loss + 0.6 * ema_loss
+        timer.stop(synced=sync)
+        if progress is not None and iteration % log_every == 0:
+            progress(iteration, {
+                "ema_loss": ema_loss, "step_s": timer.ema_s,
+                "pix_per_s": timer.pixels_per_s(w * h * n_data),
+                **{k: float(v) for k, v in metrics.items()},
+            })
+
+        # --- densification schedule (train.py:125-136) ----------------------
+        if in_densify_phase:
+            if (iteration > opt_cfg.densify_from_iter
+                    and iteration % opt_cfg.densification_interval == 0):
+                ts = _maybe_grow_parallel(ts, mesh, gauss_layout, cap_quantum,
+                                          GROW_WATERMARK, GROW_FACTOR)
+                key, sub = jax.random.split(key)
+                use_size_prune = iteration > opt_cfg.opacity_reset_interval
+                if gauss_layout:
+                    dkey = (ts.state.capacity, use_size_prune)
+                    if dkey not in densify_cache:
+                        densify_cache[dkey] = make_sharded_densify(
+                            mesh, opt_cfg, ts.state.capacity, max_sh_degree,
+                            use_size_prune,
+                        )
+                    ts.state, ts.adam, ts.stats, rep = densify_cache[dkey](
+                        ts.state, ts.adam, ts.stats, sub,
+                        jnp.float32(ts.spatial_lr_scale),
+                    )
+                    _maybe_rebalance(ts, mesh, parallel, max_sh_degree,
+                                     densify_cache)
+                else:
+                    from gs_tpu.training import _densify_jit
+
+                    ts.state, ts.adam, ts.stats, rep = _densify_jit(
+                        ts.state, ts.adam, ts.stats, sub,
+                        jnp.float32(ts.spatial_lr_scale), opt_cfg,
+                        use_size_prune,
+                    )
+                if int(rep.n_dropped) > 0:
+                    print(
+                        f"[iter {iteration}] capacity overflow: dropped "
+                        f"{int(rep.n_dropped)} children; growing next round"
+                    )
+            if iteration % opt_cfg.opacity_reset_interval == 0 or (
+                white_background and iteration == opt_cfg.densify_from_iter
+            ):
+                from gs_tpu.training import reset_opacity_step
+
+                ts.state, ts.adam = reset_opacity_step(ts.state, ts.adam)
+
+        # --- reporting / persistence ---------------------------------------
+        if iteration in test_iterations:
+            evaluate_and_report(scene, ts, bg_fixed, raster_cfg, iteration,
+                                metrics_mod, pipe=pipe)
+        if iteration in save_iterations:
+            print(f"\n[ITER {iteration}] Saving Gaussians")
+            scene.save(iteration, ts.state)
+        if iteration in checkpoint_iterations:
+            print(f"\n[ITER {iteration}] Saving Checkpoint")
+            ckpt_mod.save_train_state(
+                f"{scene.model_path}/chkpnt{iteration}.npz", ts
+            )
+
+    return ts
+
+
+def _place_sharded(ts, mesh):
+    """Shard state/adam/stats leaves over the mesh (leading axis)."""
+    from jax.sharding import NamedSharding
+
+    cap = ts.state.capacity
+
+    def put(tree):
+        specs = shard_specs(tree, cap)
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs
+        )
+
+    ts.state = put(ts.state)
+    ts.adam = put(ts.adam)
+    ts.stats = put(ts.stats)
+
+
+def _maybe_grow_parallel(ts, mesh, gauss_layout, cap_quantum, watermark,
+                         factor):
+    alive = int(ts.state.num_alive)
+    if alive <= watermark * ts.state.capacity:
+        return ts
+    new_cap = -(-int(ts.state.capacity * factor) // cap_quantum) * cap_quantum
+    ts.state = gaussians.grow_capacity(ts.state, new_cap)
+    ts.adam = optim.grow(ts.adam, new_cap)
+    pad = new_cap - ts.stats.xyz_grad_accum.shape[0]
+    ts.stats = densify.DensifyStats(
+        *(jnp.concatenate([s, jnp.zeros((pad,), s.dtype)]) for s in ts.stats)
+    )
+    if gauss_layout:
+        _place_sharded(ts, mesh)
+    return ts
+
+
+def _maybe_rebalance(ts, mesh, parallel, max_sh_degree, cache):
+    """Occupancy-skew-triggered migration rounds after a densify."""
+    n_shard = mesh.shape[mesh_mod.SHARD_AXIS]
+    if n_shard == 1:
+        return
+    occ = np.asarray(shard_occupancy(ts.state, n_shard))
+    mean = max(occ.mean(), 1.0)
+    if occ.max() / mean <= parallel.rebalance_skew:
+        return
+    rkey = ("rebalance", ts.state.capacity)
+    if rkey not in cache:
+        cache[rkey] = make_sharded_rebalance(
+            mesh, ts.state.capacity, max_sh_degree,
+            migration_budget=parallel.migration_budget,
+        )
+    # bounded rounds: each moves <= migration_budget rows per shard
+    for _ in range(8):
+        ts.state, ts.adam, ts.stats, moved = cache[rkey](
+            ts.state, ts.adam, ts.stats
+        )
+        occ = np.asarray(shard_occupancy(ts.state, n_shard))
+        if int(moved) == 0 or occ.max() / max(occ.mean(), 1.0) <= parallel.rebalance_skew:
+            break

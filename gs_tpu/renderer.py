@@ -48,6 +48,8 @@ def render(
     override_color: jnp.ndarray | None = None,
     cov3d_precomp: jnp.ndarray | None = None,
     means2d_offset: jnp.ndarray | None = None,
+    convert_shs_python: bool = False,
+    compute_cov3d_python: bool = False,
     cfg: RasterizeConfig = _DEFAULT_CFG,
 ) -> RenderOut:
     """Render ``state`` from ``camera``. Fully traceable and differentiable.
@@ -58,6 +60,12 @@ def render(
       bg_color: [3] background composited against remaining transmittance.
       means2d_offset: optional [C,2] zeros; its cotangent is the screen-space
         positional gradient (densification signal).
+      convert_shs_python / compute_cov3d_python: the reference's pipeline
+        fallback toggles (``gaussian_renderer/__init__.py:74-94``): select an
+        independently-formulated SH / covariance path (reference tensor
+        layouts, dense matmuls) instead of the fused TPU-layout one. Same
+        outputs (tested allclose) — the built-in cross-checking tool, and
+        live-toggleable from the SIBR viewer (``train.py:66``).
       cfg: rasterizer tuning (tile size, pair budget, backend).
     """
     # cov3d_precomp mirrors the reference rasterizer's cov3D_precomp input
@@ -66,6 +74,17 @@ def render(
     # likewise replaces the SH path (colors_precomp).
     if cov3d_precomp is not None:
         cov3d = cov3d_precomp
+    elif compute_cov3d_python:
+        # the reference's get_covariance route (scene/gaussian_model.py:27-43):
+        # L = R diag(s), Sigma = L L^T as dense [3,3] matmuls, then strip to
+        # the 6-pack — structurally independent of the fused elementwise path
+        from gs_tpu.ops import transforms
+
+        cov3d = transforms.pack_symmetric(
+            transforms.build_covariance(
+                jnp.exp(state.log_scale) * scaling_modifier, state.quat
+            )
+        )
     else:
         cov3d = projection.compute_cov3d(state.log_scale, state.quat,
                                          scaling_modifier)
@@ -82,6 +101,18 @@ def render(
 
     if override_color is not None:
         colors = override_color
+    elif convert_shs_python:
+        # the reference's convert_SHs_python route (gaussian_renderer/
+        # __init__.py:74-79): materialize [N,K,3] features, transpose to the
+        # [N,3,K] eval_sh layout, evaluate the full hardcoded polynomial
+        from gs_tpu.ops import sh as sh_ops
+
+        dirs = state.xyz - camera.cam_pos
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
+        shs_view = jnp.swapaxes(state.features, 1, 2)  # [N,3,K]
+        colors = jnp.maximum(
+            sh_ops.eval_sh(active_sh_degree, shs_view, dirs) + 0.5, 0.0
+        )
     else:
         colors = projection.sh_colors(
             state.xyz, state.features_dc, state.features_rest, camera.cam_pos,

@@ -60,6 +60,7 @@ def load_camera(
     resolution_flag: int,
     resolution_scale: float,
     load_image: bool = True,
+    data_device: str = "tpu",
 ) -> cam_mod.Camera:
     """CameraInfo -> device Camera with gt image (``utils/camera_utils.py:19-86``)."""
     if load_image:
@@ -74,7 +75,8 @@ def load_camera(
             info.width, info.height, resolution_flag, resolution_scale
         )
     return cam_mod.make_camera(
-        info.R, info.T, info.fovx, info.fovy, width, height, image=gt
+        info.R, info.T, info.fovx, info.fovy, width, height, image=gt,
+        data_device=data_device,
     )
 
 
@@ -127,15 +129,16 @@ class Scene:
 
         self.train_cameras: dict[float, list[cam_mod.Camera]] = {}
         self.test_cameras: dict[float, list[cam_mod.Camera]] = {}
+        data_device = getattr(args, "data_device", "tpu")
         for scale in resolution_scales:
             print("Loading Training Cameras")
             self.train_cameras[scale] = [
-                load_camera(c, args.resolution, scale, load_images)
+                load_camera(c, args.resolution, scale, load_images, data_device)
                 for c in info.train_cameras
             ]
             print("Loading Test Cameras")
             self.test_cameras[scale] = [
-                load_camera(c, args.resolution, scale, load_images)
+                load_camera(c, args.resolution, scale, load_images, data_device)
                 for c in info.test_cameras
             ]
 

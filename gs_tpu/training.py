@@ -79,7 +79,8 @@ def init_train_state(
 
 @partial(
     jax.jit,
-    static_argnames=("active_sh_degree", "opt_cfg", "raster_cfg", "accumulate_stats"),
+    static_argnames=("active_sh_degree", "opt_cfg", "raster_cfg",
+                     "accumulate_stats", "pipe", "apply_update"),
 )
 def train_step(
     state: GaussianState,
@@ -94,8 +95,15 @@ def train_step(
     opt_cfg: OptimizationParams,
     raster_cfg: RasterizeConfig,
     accumulate_stats: bool,
+    pipe: PipelineParams = PipelineParams(),
+    apply_update: bool = True,
 ):
-    """One fused optimization step. Returns (state, adam, stats, metrics)."""
+    """One fused optimization step. Returns (state, adam, stats, metrics).
+
+    ``apply_update=False`` computes loss/grads/stats but skips the Adam step —
+    the reference's final iteration (``train.py:139-141`` gates
+    ``optimizer.step()`` on ``iteration < opt.iterations``).
+    """
     params = state.params()
     offset0 = jnp.zeros((state.capacity, 2), jnp.float32)
 
@@ -107,6 +115,8 @@ def train_step(
             active_sh_degree=active_sh_degree,
             bg_color=bg,
             means2d_offset=offset,
+            convert_shs_python=pipe.convert_SHs_python,
+            compute_cov3d_python=pipe.compute_cov3D_python,
             cfg=raster_cfg,
         )
         loss = losses.photometric_loss(out.image, camera.image, opt_cfg.lambda_dssim)
@@ -124,7 +134,10 @@ def train_step(
         max_steps=opt_cfg.position_lr_max_steps,
     ) * spatial_lr_scale
     lrs = optim.group_lrs(opt_cfg, xyz_lr)
-    new_params, new_adam = optim.update(params, g_params, adam, lrs)
+    if apply_update:
+        new_params, new_adam = optim.update(params, g_params, adam, lrs)
+    else:
+        new_params, new_adam = params, adam
     new_state = state.with_params(new_params)
 
     if accumulate_stats:
@@ -142,11 +155,43 @@ def train_step(
     return new_state, new_adam, stats, metrics
 
 
-@partial(jax.jit, static_argnames=("active_sh_degree", "raster_cfg"))
-def eval_render(state, camera, bg, *, active_sh_degree, raster_cfg):
+@partial(jax.jit, static_argnames=("active_sh_degree", "raster_cfg", "pipe"))
+def eval_render(state, camera, bg, *, active_sh_degree, raster_cfg,
+                pipe: PipelineParams = PipelineParams()):
     out = render(camera, state, active_sh_degree=active_sh_degree, bg_color=bg,
+                 convert_shs_python=pipe.convert_SHs_python,
+                 compute_cov3d_python=pipe.compute_cov3D_python,
                  cfg=raster_cfg)
     return jnp.clip(out.image, 0.0, 1.0)
+
+
+def debug_dump(path: str, ts: "TrainState", camera: Camera, loss: float) -> str:
+    """Dump the rasterizer inputs for failure forensics (``pipe.debug``).
+
+    The reference rasterizer snapshots its input tensors when the CUDA kernel
+    fails under ``--debug`` (arguments/__init__.py:72, README ~160). The TPU
+    analog: on a non-finite loss, persist everything needed to replay the
+    failing step offline.
+    """
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    out = os.path.join(path, f"snapshot_debug_iter{ts.iteration}.npz")
+    payload = {f"param_{k}": np.asarray(v) for k, v in ts.state.params().items()}
+    payload.update(
+        alive=np.asarray(ts.state.alive),
+        cam_view=np.asarray(camera.view),
+        cam_full_proj=np.asarray(camera.full_proj),
+        cam_pos=np.asarray(camera.cam_pos),
+        tan_fovx=np.asarray(camera.tan_fovx),
+        tan_fovy=np.asarray(camera.tan_fovy),
+        width=np.int32(camera.width),
+        height=np.int32(camera.height),
+        iteration=np.int32(ts.iteration),
+        loss=np.float32(loss),
+    )
+    np.savez_compressed(out, **payload)
+    return out
 
 
 def maybe_grow(ts: TrainState) -> TrainState:
@@ -180,10 +225,28 @@ def run_training(
     gui_server=None,
     profile_dir: str | None = None,
     profile_iters: tuple[int, int] = (50, 60),
+    debug_from: int = -1,
+    parallel=None,
 ):
-    """The full optimization loop (``training``, train.py:31-146)."""
+    """The full optimization loop (``training``, train.py:31-146).
+
+    ``parallel``: optional :class:`~gs_tpu.config.ParallelConfig`; when its
+    mesh spans more than one device the loop delegates to the shard_map'd
+    trainer (gs_tpu.parallel.trainer) — same schedules, sharded steps.
+    """
     from gs_tpu.utils import ckpt as ckpt_mod
     from gs_tpu.utils import metrics as metrics_mod
+
+    if parallel is not None and parallel.data_parallel * parallel.shard_parallel > 1:
+        from gs_tpu.parallel.trainer import run_training_parallel
+
+        return run_training_parallel(
+            scene, opt_cfg, pipe, parallel, raster_cfg=raster_cfg,
+            white_background=white_background, test_iterations=test_iterations,
+            save_iterations=save_iterations,
+            checkpoint_iterations=checkpoint_iterations, log_every=log_every,
+            progress=progress, seed=seed,
+        )
 
     if raster_cfg is None:
         raster_cfg = RasterizeConfig(backend="xla")
@@ -209,10 +272,25 @@ def run_training(
     t_start = time.time()
     timer = profiling.StepTimer()
 
+    if gui_server is not None:
+        # CLI pipeline flags seed the live-toggleable state (train.py:66)
+        gui_server.convert_SHs_python = pipe.convert_SHs_python
+        gui_server.compute_cov3D_python = pipe.compute_cov3D_python
+
     for iteration in range(first_iter + 1, opt_cfg.iterations + 1):
         ts.iteration = iteration
         if gui_server is not None:
-            gui_server.poll(ts, raster_cfg)
+            gui_server.poll(ts, raster_cfg, iterations=opt_cfg.iterations)
+            # viewer messages overwrite the pipeline toggles for training too,
+            # exactly like the reference's in-place pipe mutation (train.py:66)
+            pipe = dataclasses.replace(
+                pipe,
+                convert_SHs_python=gui_server.convert_SHs_python,
+                compute_cov3D_python=gui_server.compute_cov3D_python,
+            )
+        if debug_from >= 0 and iteration == debug_from and not pipe.debug:
+            # --debug_from flips pipe.debug on mid-run (train.py:91-92)
+            pipe = dataclasses.replace(pipe, debug=True)
         if profile_dir is not None and iteration == profile_iters[0]:
             jax.profiler.start_trace(profile_dir)
         timer.start()
@@ -236,6 +314,10 @@ def run_training(
             opt_cfg=opt_cfg,
             raster_cfg=raster_cfg,
             accumulate_stats=in_densify_phase,
+            pipe=pipe,
+            # the reference skips the optimizer step at the final iteration
+            # (train.py:139-141); one extra retrace, exact parity
+            apply_update=iteration < opt_cfg.iterations,
         )
 
         # Sync host<->device only every log_every iterations (plus at
@@ -264,10 +346,16 @@ def run_training(
                         f"{raster_cfg.pair_budget_factor:.1f}"
                     )
             loss = float(m["loss"])  # device sync
+            if pipe.debug and not np.isfinite(loss):
+                out = debug_dump(scene.model_path or ".", ts, cam, loss)
+                raise RuntimeError(
+                    f"[iter {iteration}] non-finite loss {loss}; rasterizer "
+                    f"inputs dumped to {out} (pipe.debug snapshot)"
+                )
             ema_loss = (
                 loss if ema_loss is None else 0.4 * loss + 0.6 * ema_loss
             )
-        timer.stop()
+        timer.stop(synced=sync)
         if profile_dir is not None and iteration == profile_iters[1]:
             jax.profiler.stop_trace()
             print(f"[iter {iteration}] wrote profiler trace to {profile_dir}")
@@ -304,7 +392,7 @@ def run_training(
         # --- reporting / persistence ---------------------------------------
         if iteration in test_iterations:
             evaluate_and_report(scene, ts, bg_fixed, raster_cfg, iteration,
-                                metrics_mod)
+                                metrics_mod, pipe=pipe)
         if iteration in save_iterations:
             print(f"\n[ITER {iteration}] Saving Gaussians")
             scene.save(iteration, ts.state)
@@ -341,8 +429,16 @@ def reset_opacity_step(state, adam):
     return densify.reset_opacity(state, adam)
 
 
-def evaluate_and_report(scene, ts, bg, raster_cfg, iteration, metrics_mod):
-    """In-training eval (``training_report``, train.py:173-260)."""
+def evaluate_and_report(scene, ts, bg, raster_cfg, iteration, metrics_mod,
+                        pipe: PipelineParams = PipelineParams(),
+                        tb_writer=None):
+    """In-training eval (``training_report``, train.py:173-260).
+
+    ``tb_writer`` mirrors the reference's tensorboard hook: scalars per eval
+    config plus the opacity histogram and total point count
+    (``train.py:246-257``). The fork ships with the writer disabled
+    (``train.py:165`` sets it to None); pass one to enable.
+    """
     train_cams = scene.get_train_cameras()
     configs = [
         ("test", scene.get_test_cameras()),
@@ -355,7 +451,7 @@ def evaluate_and_report(scene, ts, bg, raster_cfg, iteration, metrics_mod):
         for cam in cams:
             img = eval_render(ts.state, cam, bg,
                               active_sh_degree=ts.active_sh_degree,
-                              raster_cfg=raster_cfg)
+                              raster_cfg=raster_cfg, pipe=pipe)
             gt = jnp.clip(cam.image, 0.0, 1.0)
             l1s.append(float(losses.l1_loss(img, gt)))
             psnrs.append(float(metrics_mod.psnr(img, gt)[0, 0]))
@@ -363,3 +459,13 @@ def evaluate_and_report(scene, ts, bg, raster_cfg, iteration, metrics_mod):
             f"\n[ITER {iteration}] Evaluating {name}: "
             f"L1 {np.mean(l1s):.5f} PSNR {np.mean(psnrs):.2f}"
         )
+        if tb_writer is not None:
+            tb_writer.add_scalar(f"{name}/loss_viewpoint - l1_loss",
+                                 float(np.mean(l1s)), iteration)
+            tb_writer.add_scalar(f"{name}/loss_viewpoint - psnr",
+                                 float(np.mean(psnrs)), iteration)
+    if tb_writer is not None:
+        alive = np.asarray(ts.state.alive)
+        opac = np.asarray(ts.state.opacity[:, 0])[alive]
+        tb_writer.add_histogram("scene/opacity_histogram", opac, iteration)
+        tb_writer.add_scalar("total_points", int(alive.sum()), iteration)

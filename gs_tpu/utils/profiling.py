@@ -16,7 +16,15 @@ from dataclasses import dataclass, field
 
 @dataclass
 class StepTimer:
-    """Exponential-moving-average step timer with throughput accounting."""
+    """Exponential-moving-average step timer with throughput accounting.
+
+    With JAX async dispatch, only iterations that pull a value to the host
+    block on real compute; the in-between ones time near-zero dispatch and
+    the blocking one absorbs all their work. Callers mark which stops are
+    synchronizing (``stop(synced=...)``): the EMA is fed only at sync points
+    with the *per-step average* since the previous sync, so ``ema_s`` is a
+    true per-step time for any sync cadence.
+    """
 
     ema_decay: float = 0.9
     ema_s: float = 0.0
@@ -24,18 +32,28 @@ class StepTimer:
     total_s: float = 0.0
     steps: int = 0
     _t0: float = field(default=0.0, repr=False)
+    _accum_s: float = field(default=0.0, repr=False)
+    _accum_steps: int = field(default=0, repr=False)
+    _ema_seeded: bool = field(default=False, repr=False)
 
     def start(self) -> None:
         self._t0 = time.perf_counter()
 
-    def stop(self) -> float:
+    def stop(self, synced: bool = True) -> float:
         dt = time.perf_counter() - self._t0
         self.last_s = dt
         self.total_s += dt
         self.steps += 1
-        self.ema_s = dt if self.steps == 1 else (
-            self.ema_decay * self.ema_s + (1.0 - self.ema_decay) * dt
-        )
+        self._accum_s += dt
+        self._accum_steps += 1
+        if synced:
+            per_step = self._accum_s / self._accum_steps
+            self.ema_s = per_step if not self._ema_seeded else (
+                self.ema_decay * self.ema_s + (1.0 - self.ema_decay) * per_step
+            )
+            self._ema_seeded = True
+            self._accum_s = 0.0
+            self._accum_steps = 0
         return dt
 
     def pixels_per_s(self, pixels_per_step: int) -> float:

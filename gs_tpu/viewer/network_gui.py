@@ -124,6 +124,8 @@ class GuiServer:
                     out = _render(
                         cam, ts.state, active_sh_degree=ts.active_sh_degree,
                         bg_color=jnp.zeros(3), scaling_modifier=scaling_mod,
+                        convert_shs_python=self.convert_SHs_python,
+                        compute_cov3d_python=self.compute_cov3D_python,
                         cfg=raster_cfg,
                     )
                     img = np.asarray(jnp.clip(out.image, 0.0, 1.0) * 255.0)
