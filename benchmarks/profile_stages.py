@@ -1,7 +1,11 @@
 """Stage-level profiling of the 1080p render+backward pipeline on TPU.
 
-Times each stage in isolation: projection, binning, align+gather,
-composite fwd, composite fwd+bwd, full render fwd+bwd.
+Times each stage in isolation: projection, binning (payload-carrying depth
+sort + aligned tile sort), composite fwd, composite fwd+bwd, full render
+fwd+bwd. NOTE (round-2 lesson): through the axon tunnel, per-stage wall
+timings carry ~tens of ms of sync noise — treat them as indicative and use
+an XLA trace (jax.profiler + device-event aggregation) for op-level truth.
+Config mirrors bench.py defaults (32x32 tiles, chunk 128, tight budget).
 """
 
 import math
@@ -19,15 +23,18 @@ from gs_tpu import cameras
 from gs_tpu.config import RasterizeConfig
 from gs_tpu.models import gaussians
 from gs_tpu.ops import binning, projection
-from gs_tpu.ops.rasterize_tiled import (A_OPAC, CompositeStatic,
-                                        composite_tiles, pack_attributes,
-                                        rasterize_tiled, resolve_backend)
+from gs_tpu.ops.rasterize_tiled import (ATTR_W, CompositeStatic,
+                                        composite_tiles, effective_ends,
+                                        pack_attributes, rasterize_tiled,
+                                        resolve_backend)
 from gs_tpu.renderer import render
 from gs_tpu.utils import losses
 
 H, W = 1080, 1920
 N = 262_144
-BACKEND = "pallas"
+BACKEND = os.environ.get("GS_TPU_BENCH_BACKEND", "pallas")
+CHUNK = int(os.environ.get("GS_TPU_BENCH_CHUNK", "128"))
+TILE = int(os.environ.get("GS_TPU_BENCH_TILE_W", "32"))
 
 
 def timeit(fn, *args, iters=5, warmup=1):
@@ -54,12 +61,12 @@ def main():
         np.eye(3), np.array([0.0, 0.0, 5.0]),
         fovx=math.radians(70), fovy=math.radians(46), width=W, height=H,
     )
-    cfg = RasterizeConfig(backend=BACKEND, chunk=128, tile_w=16, tile_h=16)
     target = jnp.zeros((3, H, W), jnp.float32)
+    cfg = RasterizeConfig(backend=BACKEND, chunk=CHUNK, tile_w=TILE,
+                          tile_h=TILE)
 
-    tiles_x, tiles_y = -(-W // 16), -(-H // 16)
+    tiles_x, tiles_y = -(-W // TILE), -(-H // TILE)
     num_tiles = tiles_x * tiles_y
-    pair_budget = -(-int(cfg.pair_budget_factor * N) // cfg.chunk) * cfg.chunk
 
     # --- stage: projection ---------------------------------------------------
     @jax.jit
@@ -75,64 +82,66 @@ def main():
     means2d, conics, colors, depths, radii = jax.jit(stage_project)(state)
     opac = state.opacity[:, 0]
 
-    # --- stage: aligned binning --------------------------------------------------
-    @jax.jit
-    def stage_bin(means2d, depths, radii):
-        return binning.bin_gaussians_aligned(means2d, depths, radii, tiles_x,
-                                             tiles_y, 16, 16, pair_budget,
-                                             cfg.chunk)
+    # tight budget, like bench.py
+    probe = binning.bin_gaussians_aligned(
+        means2d, depths, projection.bin_radii(radii, opac), tiles_x, tiles_y,
+        TILE, TILE, 4 * N, CHUNK)
+    true_pairs = int(probe.num_pairs)
+    pair_budget = -(-int(1.05 * true_pairs) // CHUNK) * CHUNK
+    import dataclasses
+    cfg = dataclasses.replace(cfg, pair_budget_factor=pair_budget / N)
+    print(f"  true pairs: {true_pairs} (budget {pair_budget})")
 
-    t = timeit(stage_bin, means2d, depths, radii)
-    print(f"binning (aligned):    {t*1e3:8.2f} ms")
-    ab = stage_bin(means2d, depths, radii)
-    print(f"  true pairs: {int(ab.num_pairs)} / budget {pair_budget}")
-
-    # --- stage: packed gather -----------------------------------------------------
+    # --- stage: binning incl. attr payload ----------------------------------
     @jax.jit
-    def stage_gather(ab, means2d, conics, colors, opac):
+    def stage_bin(means2d, conics, colors, opac, depths, radii):
         attr = pack_attributes(means2d, conics, colors, opac)
-        sp = attr[ab.pair_gauss]
-        return sp.at[:, A_OPAC].multiply(ab.valid.astype(jnp.float32))
+        return binning.bin_gaussians_aligned(
+            means2d, depths, projection.bin_radii(radii, opac), tiles_x,
+            tiles_y, TILE, TILE, pair_budget, CHUNK, sort_payload=attr)
 
-    t = timeit(stage_gather, ab, means2d, conics, colors, opac)
-    print(f"packed gather:        {t*1e3:8.2f} ms")
-    sp_attr = jax.jit(stage_gather)(ab, means2d, conics, colors, opac)
-    starts, ends = ab.starts, ab.ends
+    t = timeit(stage_bin, means2d, conics, colors, opac, depths, radii)
+    print(f"binning (payload):    {t*1e3:8.2f} ms")
+    ab = jax.jit(stage_bin)(means2d, conics, colors, opac, depths, radii)
 
-    st = CompositeStatic(tiles_x=tiles_x, tiles_y=tiles_y, tile_w=16, tile_h=16,
-                         chunk=cfg.chunk, tile_batch=256,
+    st = CompositeStatic(tiles_x=tiles_x, tiles_y=tiles_y, tile_w=TILE,
+                         tile_h=TILE, chunk=CHUNK, tile_batch=256,
                          backend=resolve_backend(BACKEND))
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
 
-    # --- stage: composite fwd ---------------------------------------------------
+    @jax.jit
+    def stage_pairs(ab):
+        attr_ds = jnp.concatenate(
+            [ab.payload_ds, jnp.zeros((1, ATTR_W), jnp.float32)])
+        sp_attr = attr_ds[ab.pair_slot]
+        ends = effective_ends(st, sp_attr, tile_ids, ab.starts, ab.ends)
+        return sp_attr, ends
+
+    t = timeit(stage_pairs, ab)
+    print(f"gather+trunc:         {t*1e3:8.2f} ms")
+    sp_attr, ends = jax.jit(stage_pairs)(ab)
+    print(f"  truncated pairs: {int(jnp.sum(ends - ab.starts))} "
+          f"of {int(jnp.sum(ab.ends - ab.starts))} aligned slots")
+
+    # --- stage: composite fwd / fwd+bwd --------------------------------------
     @jax.jit
     def stage_comp(sp_attr):
-        return composite_tiles(st, sp_attr, tile_ids, starts, ends)[0]
+        return composite_tiles(st, sp_attr, tile_ids, ab.starts, ends)[0]
 
     t = timeit(stage_comp, sp_attr)
     print(f"composite fwd:        {t*1e3:8.2f} ms")
 
-    # --- stage: composite fwd+bwd -----------------------------------------------
     @jax.jit
     def stage_comp_grad(sp_attr):
         def f(a):
-            color, tfin, _ = composite_tiles(st, a, tile_ids, starts, ends)
+            color, tfin, _ = composite_tiles(st, a, tile_ids, ab.starts, ends)
             return jnp.sum(color) + jnp.sum(tfin)
         return jax.grad(f)(sp_attr)
 
     t = timeit(stage_comp_grad, sp_attr)
     print(f"composite fwd+bwd:    {t*1e3:8.2f} ms")
 
-    # --- full rasterize fwd ------------------------------------------------------
-    @jax.jit
-    def stage_raster(means2d, conics, colors, opac):
-        return rasterize_tiled(means2d, conics, colors, opac, depths, radii,
-                               H, W, jnp.zeros(3), cfg).image
-
-    t = timeit(stage_raster, means2d, conics, colors, opac)
-    print(f"rasterize fwd:        {t*1e3:8.2f} ms")
-
-    # --- full render fwd+bwd (bench.py workload) ---------------------------------
+    # --- full render fwd+bwd (bench.py workload) -----------------------------
     @jax.jit
     def full(state):
         def loss_fn(params):

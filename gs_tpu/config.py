@@ -94,6 +94,10 @@ class RasterizeConfig:
     alpha_threshold: float = 1.0 / 255.0  # splat contribution cutoff
     transmittance_eps: float = 1e-4  # early-out T threshold
     max_alpha: float = 0.99
+    # exact-conservative per-tile dead-tail truncation (rasterize_tiled
+    # .effective_ends): output-identical, large compositing savings on
+    # opaque scenes; off only for kernel debugging
+    truncate_tiles: bool = True
 
 
 @dataclass(frozen=True)

@@ -81,7 +81,10 @@ class AlignedBinningOut(NamedTuple):
     depth_order[pair_slot]); gathering attributes through
     ``attr[depth_order][pair_slot]`` costs one cheap [N] gather instead of a
     second [AB] random gather, so prefer it on the hot path and let XLA DCE
-    ``pair_gauss`` away.
+    ``pair_gauss`` away. Cheaper still: pass the packed table as
+    ``sort_payload`` and read ``payload_ds`` — the depth sort carries it
+    (payload columns are nearly free in ``lax.sort``), skipping the [N]
+    gather entirely.
     """
 
     pair_gauss: jnp.ndarray  # [AB] int32, original Gaussian index
@@ -91,6 +94,29 @@ class AlignedBinningOut(NamedTuple):
     starts: jnp.ndarray  # [T] int32, multiples of align
     ends: jnp.ndarray  # [T] int32
     num_pairs: jnp.ndarray  # scalar int32 true (unclamped) pair count
+    payload_ds: jnp.ndarray | None = None  # [N, K] sort_payload, depth order
+
+
+def _cumsum_cols(x_cols):
+    """Exact column-wise prefix sums, one [bo, 128] 2-level scan per column.
+
+    A plain ``jnp.cumsum(x, axis=0)`` over [B, k] leaves the scan on the
+    major axis with k (padded to 128) lanes — ~25x wasted bandwidth
+    (measured ~70 ns/row round 2). Reshaping each column to [B/128, 128]
+    runs the inner scan across full lanes and a small carry scan down rows.
+    """
+    outs = []
+    for v in x_cols:
+        b = v.shape[0]
+        pad = (-b) % 128
+        if pad:
+            v = jnp.concatenate([v, jnp.zeros((pad,), v.dtype)])
+        v2 = v.reshape(-1, 128)
+        within = jnp.cumsum(v2, axis=1)
+        carries = jnp.cumsum(within[:, -1])
+        out = within + (carries - within[:, -1])[:, None]
+        outs.append(out.reshape(-1)[:b])
+    return outs
 
 
 def bin_gaussians_aligned(
@@ -103,6 +129,9 @@ def bin_gaussians_aligned(
     tile_h: int,
     pair_budget: int,
     align: int,
+    col_stride: int = 1,
+    col_offset=0,
+    sort_payload: jnp.ndarray | None = None,
 ) -> AlignedBinningOut:
     """One-sort aligned binning, tuned for TPU gather/scatter costs.
 
@@ -115,21 +144,56 @@ def bin_gaussians_aligned(
     produces the final aligned, depth-ordered layout. Per-tile pair counts
     come from a corner-difference 2D cumsum over the tile grid (O(N + T)),
     not a B-length scatter.
+
+    ``col_stride``/``col_offset`` restrict binning to every ``col_stride``-th
+    tile COLUMN starting at ``col_offset`` (a traced device index is fine) —
+    the de-replicated multi-device path: each device of a tile-sharded mesh
+    bins only its own column strip, dividing every pair-proportional cost by
+    the shard count. Tile ids in the result are then *compact*: tile
+    ``t_local = ty * ceil(tiles_x/col_stride) + cx`` is global column
+    ``col_offset + cx * col_stride`` (see
+    :func:`gs_tpu.parallel.sharded.local_to_global_tiles`).
     """
     n = means2d.shape[0]
-    num_tiles = tiles_x * tiles_y
+    if col_stride > 1:
+        tiles_x_c = -(-tiles_x // col_stride)
+    else:
+        tiles_x_c = tiles_x
+    num_tiles = tiles_x_c * tiles_y
     p_max = num_tiles * (align - 1)
     ab = -(-(pair_budget + p_max) // align) * align
 
     # 1. depth order + per-gaussian tile rects (all O(N))
     safe_depth = jnp.where(radii > 0, depths, jnp.inf)
-    depth_order = jnp.argsort(safe_depth, stable=True).astype(jnp.int32)
     x0, y0, x1, y1 = tile_rect(means2d, radii, tiles_x, tiles_y, tile_w, tile_h)
-    sx0, sy0 = x0[depth_order], y0[depth_order]
-    w = (x1 - x0)[depth_order]
-    h = (y1 - y0)[depth_order]
+    if col_stride > 1:
+        # compact owned-column coordinates: cx = (tx - offset) / stride for
+        # tx in {offset, offset+stride, ...}; a rect [x0, x1) covers the
+        # compact range [ceil((x0-off)/stride), ceil((x1-off)/stride))
+        off = jnp.asarray(col_offset, jnp.int32)
+        x0 = -(-(x0 - off) // col_stride)
+        x1 = -(-(x1 - off) // col_stride)
+        x0 = jnp.clip(x0, 0, tiles_x_c)
+        x1 = jnp.clip(x1, x0, tiles_x_c)
+    # ONE depth sort carries every per-gaussian field as payload (plus the
+    # caller's packed attribute table) — N narrow gathers through an argsort
+    # permutation cost ~12 ns/row each on TPU while extra sort payloads are
+    # nearly free, so this replaces 4-13 gathers with one sort
+    iota = jnp.arange(n, dtype=jnp.int32)
+    payload_cols = () if sort_payload is None else tuple(
+        sort_payload[:, c] for c in range(sort_payload.shape[1])
+    )
+    sorted_all = jax.lax.sort(
+        (safe_depth, iota, x0, y0, x1 - x0, y1 - y0) + payload_cols,
+        num_keys=1, is_stable=True,
+    )
+    depth_order = sorted_all[1]
+    sx0, sy0, w, h = sorted_all[2], sorted_all[3], sorted_all[4], sorted_all[5]
+    payload_ds = (
+        jnp.stack(sorted_all[6:], axis=1) if sort_payload is not None else None
+    )
     counts = (w * h).astype(jnp.int32)
-    inc_cum = jnp.cumsum(counts)  # inclusive
+    inc_cum = _cumsum_cols([counts])[0]  # inclusive
     offsets = inc_cum - counts
     num_pairs = inc_cum[-1] if n > 0 else jnp.int32(0)
     # budget overflow drops whole deepest gaussians (keeps tile_counts and the
@@ -140,12 +204,12 @@ def bin_gaussians_aligned(
     # 2. per-tile pair counts via rect corner differences + 2D cumsum (O(N+T))
     ey1 = sy0 + jnp.where(fit, h, 0)
     ex1 = sx0 + jnp.where(fit, w, 0)
-    grid = jnp.zeros((tiles_y + 1, tiles_x + 1), jnp.int32)
+    grid = jnp.zeros((tiles_y + 1, tiles_x_c + 1), jnp.int32)
     ones = jnp.ones((n,), jnp.int32)
     grid = grid.at[sy0, sx0].add(ones).at[sy0, ex1].add(-ones)
     grid = grid.at[ey1, sx0].add(-ones).at[ey1, ex1].add(ones)
     tile_counts = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)[
-        :tiles_y, :tiles_x
+        :tiles_y, :tiles_x_c
     ].reshape(-1)  # [T]
 
     acnt = -(-tile_counts // align) * align
@@ -170,14 +234,17 @@ def bin_gaussians_aligned(
     buf = jnp.zeros((pair_budget + 1, 5), jnp.int32).at[offsets].add(
         deltas, mode="drop"
     )
-    ex = jnp.cumsum(buf[:pair_budget], axis=0)  # [B,5] per-slot owner fields
-    owner = jnp.clip(ex[:, 4], 0, max(n - 1, 0)).astype(jnp.int32)
-    local = slot - ex[:, 0]
+    # per-slot owner fields via layout-friendly per-column scans
+    ex_off, ex_x0, ex_y0, ex_w, ex_idx = _cumsum_cols(
+        [buf[:pair_budget, c] for c in range(5)]
+    )
+    owner = jnp.clip(ex_idx, 0, max(n - 1, 0)).astype(jnp.int32)
+    local = slot - ex_off
     total_fit = jnp.max(jnp.where(fit, inc_cum, 0))
     real_valid = slot < total_fit
-    tx = ex[:, 1] + local % ex[:, 3]
-    ty = ex[:, 2] + local // ex[:, 3]
-    real_tile = ty * tiles_x + tx
+    tx = ex_x0 + local % ex_w
+    ty = ex_y0 + local // ex_w
+    real_tile = ty * tiles_x_c + tx
     real_key = jnp.where(real_valid, real_tile * 2, 2 * num_tiles + 2)
 
     # 4. dummy pair keys: dummy j belongs to the tile whose pad range holds j
@@ -185,7 +252,7 @@ def bin_gaussians_aligned(
     dummy_slot = jnp.arange(p_max, dtype=jnp.int32)
     pad_cum = jnp.cumsum(pad_t)
     dmark = jnp.zeros(p_max + 1, jnp.int32).at[pad_cum].add(1, mode="drop")
-    dummy_tile = jnp.cumsum(dmark[:p_max]).astype(jnp.int32)
+    dummy_tile = _cumsum_cols([dmark[:p_max]])[0].astype(jnp.int32)
     dummy_key = jnp.where(
         dummy_slot < pad_cum[-1], jnp.minimum(dummy_tile, num_tiles - 1) * 2 + 1,
         2 * num_tiles + 2,
@@ -214,6 +281,7 @@ def bin_gaussians_aligned(
         starts=astarts,
         ends=aends,
         num_pairs=num_pairs,
+        payload_ds=payload_ds,
     )
 
 

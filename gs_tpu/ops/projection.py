@@ -167,17 +167,19 @@ def sh_colors(
     """View-dependent RGB from SH coefficients, clamped at 0.
 
     ``features_dc`` [N,1,3] + ``features_rest`` [N,K-1,3] in the reference
-    layout (``scene/gaussian_model.py:119-122``), consumed separately and
-    contracted per-coefficient against [N,1] basis values — neither the
-    dc|rest concatenation nor the [N,3,K] transpose ever materializes
-    (layout ops on [N,K,3] are the hot spot otherwise).
+    layout (``scene/gaussian_model.py:119-122``). Contracted as ONE
+    [N,K] x [N,K,3] reduction: round-2 traces showed the per-coefficient
+    accumulation loop's BACKWARD materializing 15 separate [N,15,3]
+    add-any/layout-copy passes (~15 ms at N=262k); a single contraction
+    keeps the whole chain in two fused passes.
     """
+    k = sh_ops.num_sh_coeffs(active_degree)
     dirs = xyz - cam_pos
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
-    basis = sh_ops.eval_sh_basis(active_degree, dirs)  # list of [N,1]
-    rgb = basis[0] * features_dc[:, 0, :]
-    for k in range(1, len(basis)):
-        rgb = rgb + basis[k] * features_rest[:, k - 1, :]
+    basis = jnp.concatenate(sh_ops.eval_sh_basis(active_degree, dirs),
+                            axis=-1)  # [N,K]
+    feats = jnp.concatenate([features_dc, features_rest], axis=1)[:, :k]
+    rgb = jnp.einsum("nk,nkc->nc", basis, feats)
     return jnp.maximum(rgb + 0.5, 0.0)
 
 

@@ -133,6 +133,10 @@ def _visit_tables(starts, ends, chunk, cap_chunks, reverse, dead_blk=None):
     row == M (dummy) and block == ``dead_blk`` (default: the extra dump
     slot cap_chunks; the forward pass uses 0 since its compute is gated
     and it never writes pair-indexed outputs — saving the dump-block pad).
+
+    The step->row map is a monotone step function, so it's built with the
+    scatter+cumsum idiom rather than ``searchsorted`` (which costs ~7 ms at
+    this size on TPU, measured via trace round 2).
     """
     if dead_blk is None:
         dead_blk = cap_chunks
@@ -142,7 +146,14 @@ def _visit_tables(starts, ends, chunk, cap_chunks, reverse, dead_blk=None):
     total = offs[-1] + ncks[-1] if m > 0 else jnp.int32(0)
 
     j = jnp.arange(cap_chunks, dtype=jnp.int32)
-    row = (jnp.searchsorted(offs, j, side="right") - 1).astype(jnp.int32)
+    # row[j] = the (nonempty) row whose chunk range contains step j: scatter
+    # each nonempty row's index at its first step, then a running max fills
+    # the range (for live steps this equals searchsorted(offs, j, "right")-1,
+    # which always lands on a nonempty row)
+    buf = jnp.full((cap_chunks + 1,), -1, jnp.int32).at[
+        jnp.where(ncks > 0, offs, cap_chunks)
+    ].max(jnp.arange(m, dtype=jnp.int32), mode="drop")
+    row = jax.lax.cummax(buf[:cap_chunks])
     row = jnp.clip(row, 0, max(m - 1, 0))
     k = j - offs[row]
     if reverse:

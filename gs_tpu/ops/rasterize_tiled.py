@@ -49,6 +49,7 @@ scatter-add that accumulates per-pair grads onto Gaussians); only
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple
 
 import jax
@@ -135,6 +136,114 @@ def _color_dot(w, rgb):
         w, rgb, (((0,), (0,)), ((), ())), precision=_HI,
         preferred_element_type=_F32,
     )
+
+
+# ----------------------------------------------------------------------------
+# exact-conservative tile truncation
+# ----------------------------------------------------------------------------
+
+
+def effective_ends(st: "CompositeStatic", sp_attr, tile_ids, starts, ends,
+                   margin: float = 0.5):
+    """Chunk-aligned per-tile range ends with the dead tail proven off.
+
+    The reference kernel terminates a pixel at the first splat where
+    T*(1-alpha) < T_EPS; splats past that point contribute nothing (and
+    cannot move n_contrib). This computes, per tile, a *proof* that every
+    pixel has terminated: alpha_j at any pixel of the tile is >= alpha_min_j
+    := opac_j * exp(min over the tile rect of power_j) (the min of the
+    concave power over a rect is at one of its 4 corners), and only splats
+    whose alpha clears the ALPHA_SKIP test at EVERY pixel count, so
+
+        T_pixel(s) <= T_ub(s) := prod_{j<=s} (1 - alpha'_j),
+        alpha'_j = alpha_min_j if alpha_min_j >= ALPHA_SKIP else 0.
+
+    Once T_ub < T_EPS * margin, every pixel's true transmittance is below
+    T_EPS, i.e. already terminated — the remaining chunks are dead weight
+    the CUDA reference also never renders. Truncating there is *exactly*
+    output-preserving (color, T_final and n_contrib all unchanged); margin
+    < 1 absorbs fp rounding of the log-space product.
+
+    Works on any disjoint ascending (tile_ids, starts, ends) entry list
+    (full grid or a device's tile shard). Cost: ~40 elementwise ops over
+    the pair buffer + chunk-level scans. The proof can only fire through
+    splats whose footprint covers a whole tile (alpha at the worst corner
+    >= ALPHA_SKIP, i.e. sigma at least ~tile/4 for mid opacities) — dense
+    clouds of large splats truncate hard; scenes of tiny splats keep
+    ends_eff == ends and rely on the kernels' in-chunk death gating.
+
+    Returns ends_eff with starts <= ends_eff <= ends, multiples of chunk.
+    """
+    s = st.chunk
+    b = sp_attr.shape[0]
+    nchunks = b // s
+    m = tile_ids.shape[0]
+    nonempty = ends > starts
+
+    # owning entry per chunk (entries disjoint, ascending starts)
+    marks = jnp.zeros(nchunks + 1, jnp.int32).at[
+        jnp.where(nonempty, starts // s, nchunks)
+    ].add(1, mode="drop")
+    owner = jnp.cumsum(marks[:nchunks]) - 1  # [-1 before first entry]
+    owner_c = jnp.clip(owner, 0, max(m - 1, 0))
+    chunk_pos = jnp.arange(nchunks, dtype=jnp.int32) * s
+    covered = (owner >= 0) & (chunk_pos < ends[owner_c]) & nonempty[owner_c]
+
+    # min power over the tile rect at the 4 corners, per pair
+    tid = tile_ids[owner_c]  # [nchunks] small gather
+    x0 = ((tid % st.tiles_x) * st.tile_w).astype(_F32)
+    y0 = ((tid // st.tiles_x) * st.tile_h).astype(_F32)
+    x1 = x0 + (st.tile_w - 1)
+    y1 = y0 + (st.tile_h - 1)
+
+    def per_slot(v):  # [nchunks] -> [nchunks, s]
+        return jnp.broadcast_to(v[:, None], (nchunks, s))
+
+    a2 = sp_attr.reshape(nchunks, s, ATTR_W)
+    mx, my = a2[..., 0], a2[..., 1]
+    ca, cb, cc = a2[..., 2], a2[..., 3], a2[..., 4]
+    opac = a2[..., 8]
+
+    def power_at(cx, cy):
+        dx = per_slot(cx) - mx
+        dy = per_slot(cy) - my
+        return -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+
+    min_power = jnp.minimum(
+        jnp.minimum(power_at(x0, y0), power_at(x1, y0)),
+        jnp.minimum(power_at(x0, y1), power_at(x1, y1)),
+    )
+    alpha_min = jnp.minimum(opac * jnp.exp(min_power), ALPHA_MAX)
+    alpha_eff = jnp.where(alpha_min >= ALPHA_SKIP, alpha_min, 0.0)
+    log_omb = jnp.log1p(-alpha_eff)  # <= 0
+
+    chunk_log = jnp.sum(log_omb, axis=1)  # [nchunks]
+    cum_incl = jnp.cumsum(chunk_log)
+    cum_excl = cum_incl - chunk_log
+    entry_base = cum_excl[jnp.where(nonempty, starts // s, 0)]  # [m]
+    t_enter_log = cum_excl - entry_base[owner_c]  # log T_ub entering chunk
+
+    alive = covered & (t_enter_log > math.log(T_EPS * margin))
+    needed = jnp.zeros((m + 1,), jnp.int32).at[
+        jnp.where(covered, owner_c, m)
+    ].add(alive.astype(jnp.int32), mode="drop")[:m]
+    return starts + needed * s
+
+
+def ncon_trimmed_ends(st: "CompositeStatic", starts, ends, ncon_all):
+    """Backward-only range ends: stop at each tile's last contributor.
+
+    ``ncon`` values are global pair positions + 1 (the residual the forward
+    saves), so chunks at or past max-over-pixels(ncon) have zero gradient
+    for every pair — the reference backward's per-pixel
+    ``contributor > last_contributor`` skip, hoisted to whole chunks.
+    Exact: skipped chunks have no contributing pairs, so the reverse-walk
+    carries (T, suffix sum) are unchanged across them.
+    """
+    s = st.chunk
+    ncon_max = jnp.max(ncon_all, axis=tuple(range(1, ncon_all.ndim)))  # [m]
+    ne = starts + -(-(jnp.maximum(ncon_max - starts, 0)) // s) * s
+    return jnp.clip(ne, starts, ends)
 
 
 # ----------------------------------------------------------------------------
@@ -406,6 +515,11 @@ def _composite_fwd_rule(st, sp_attr, tile_ids, starts, ends):
 
 
 def _composite_bwd_rule(st, residuals, cotangents):
+    # walk each tile only to its last contributor (exact; the reference
+    # backward's per-pixel contributor skip hoisted to whole chunks)
+    (sp_attr, tile_ids, starts, ends, t_final, ncon) = residuals
+    ends = ncon_trimmed_ends(st, starts, ends, ncon)
+    residuals = (sp_attr, tile_ids, starts, ends, t_final, ncon)
     if st.backend == "pallas":
         from gs_tpu.ops import rasterize_pallas
 
@@ -442,17 +556,19 @@ def rasterize_tiled(
     # (see projection.bin_radii for the proof)
     from gs_tpu.ops.projection import bin_radii
 
+    # the packed attribute table rides the depth sort as payload columns
+    # (nearly free) instead of a separate [N, ATTR_W] permutation gather
+    attr = pack_attributes(means2d, conics, colors, opacities)
     ab = binning.bin_gaussians_aligned(
         means2d, depths, bin_radii(radii, opacities), tiles_x, tiles_y,
-        cfg.tile_w, cfg.tile_h, pair_budget, cfg.chunk,
+        cfg.tile_w, cfg.tile_h, pair_budget, cfg.chunk, sort_payload=attr,
     )
 
     # ONE packed gather per pair, through the depth-sorted attribute table
-    # (autodiff = one scatter-add of pair grads + one cheap [N] scatter)
-    attr = pack_attributes(means2d, conics, colors, opacities)
-    # depth-ordered attribute table + one zero NULL row; padding pairs index
-    # the null row (zero opacity) so no mask pass over [AB, attrs] is needed
-    attr_ds = jnp.concatenate([attr[ab.depth_order], jnp.zeros((1, ATTR_W), _F32)])
+    # (autodiff = one scatter-add of pair grads + one cheap [N] scatter);
+    # + one zero NULL row: padding pairs index it (zero opacity), so no
+    # mask pass over [AB, attrs] is needed
+    attr_ds = jnp.concatenate([ab.payload_ds, jnp.zeros((1, ATTR_W), _F32)])
     sp_attr = attr_ds[ab.pair_slot]
 
     st = CompositeStatic(
@@ -464,10 +580,13 @@ def rasterize_tiled(
         tile_batch=cfg.tile_batch,
         backend=resolve_backend(cfg.backend),
     )
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    ends = ab.ends
+    if cfg.truncate_tiles:
+        ends = effective_ends(st, jax.lax.stop_gradient(sp_attr), tile_ids,
+                              ab.starts, ab.ends)
     tile_color, tile_t, _ = composite_tiles(
-        st, sp_attr,
-        jnp.arange(num_tiles, dtype=jnp.int32),
-        ab.starts, ab.ends,
+        st, sp_attr, tile_ids, ab.starts, ends,
     )
 
     tile_color = tile_color + tile_t[..., None] * bg[None, None, :]

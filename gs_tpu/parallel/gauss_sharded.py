@@ -39,10 +39,9 @@ from jax.sharding import PartitionSpec as P
 
 from gs_tpu.config import OptimizationParams, RasterizeConfig
 from gs_tpu.models import densify, optim
-from gs_tpu.ops import binning, projection
+from gs_tpu.ops import projection
 from gs_tpu.ops.rasterize_tiled import (ATTR_W, CompositeStatic,
-                                        composite_tiles, pack_attributes,
-                                        resolve_backend)
+                                        pack_attributes, resolve_backend)
 from gs_tpu.parallel.mesh import DATA_AXIS, SHARD_AXIS
 from gs_tpu.utils import losses, schedules
 
@@ -100,46 +99,29 @@ def _project_local(state, camera, active_sh_degree, means2d_offset):
     return packed, radii
 
 
-def _render_from_gathered(splat_table, camera, bg, st, n_shard, pair_budget):
-    """Bin the full gathered splat table; composite my interleaved tiles."""
-    me = jax.lax.axis_index(SHARD_AXIS)
-    num_tiles = st.tiles_x * st.tiles_y
-    tiles_per_dev = -(-num_tiles // n_shard)
+def _render_from_gathered(splat_table, camera, bg, st, n_shard, pair_budget,
+                          truncate=True):
+    """Composite my tile-column strip of the gathered splat table.
 
+    De-replicated like the tile-sharded layout: each device bins/gathers/
+    composites only its own strip (gs_tpu.parallel.sharded.composite_strip),
+    so the post-all_gather work also divides by the shard count.
+    """
+    from gs_tpu.parallel.sharded import composite_strip, reassemble_strips
+
+    me = jax.lax.axis_index(SHARD_AXIS)
     means2d = splat_table[:, 0:2]
     depths = splat_table[:, ATTR_W]
     brad = splat_table[:, ATTR_W + 1].astype(jnp.int32)
-
-    ab = binning.bin_gaussians_aligned(
-        means2d, depths, brad, st.tiles_x, st.tiles_y, st.tile_w, st.tile_h,
-        pair_budget, st.chunk,
-    )
     attr = splat_table[:, :ATTR_W]
-    attr_ds = jnp.concatenate(
-        [attr[ab.depth_order], jnp.zeros((1, ATTR_W), jnp.float32)]
+
+    tile_color, tile_t, num_pairs = composite_strip(
+        st, means2d, depths, brad, attr, n_shard, me, pair_budget, truncate,
     )
-    sp_attr = attr_ds[ab.pair_slot]
-
-    local_ranks = jnp.arange(tiles_per_dev, dtype=jnp.int32)
-    my_tiles = me + local_ranks * n_shard
-    in_range = my_tiles < num_tiles
-    my_tiles_safe = jnp.minimum(my_tiles, num_tiles - 1)
-    starts = jnp.where(in_range, ab.starts[my_tiles_safe], 0)
-    ends = jnp.where(in_range, ab.ends[my_tiles_safe], 0)
-
-    tile_color, tile_t, _ = composite_tiles(st, sp_attr, my_tiles_safe,
-                                            starts, ends)
     tile_color = tile_color + tile_t[..., None] * bg[None, None, :]
-
-    all_tiles = jax.lax.all_gather(tile_color, SHARD_AXIS, axis=0, tiled=False)
-    full = jnp.swapaxes(all_tiles, 0, 1).reshape(
-        tiles_per_dev * n_shard, tile_color.shape[1], 3
-    )[:num_tiles]
-    img = full.reshape(st.tiles_y, st.tiles_x, st.tile_h, st.tile_w, 3)
-    img = img.transpose(4, 0, 2, 1, 3).reshape(
-        3, st.tiles_y * st.tile_h, st.tiles_x * st.tile_w
-    )
-    return img[:, : camera.height, : camera.width]
+    img = reassemble_strips(st, n_shard, tile_color, camera.height,
+                            camera.width)
+    return img, num_pairs
 
 
 def make_gauss_sharded_train_step(
@@ -200,14 +182,15 @@ def make_gauss_sharded_train_step(
             else:
                 num_vis = jnp.sum((packed[:, ATTR_W + 1] > 0).astype(jnp.int32))
             table = jax.lax.all_gather(packed, SHARD_AXIS, axis=0, tiled=True)
-            img = _render_from_gathered(table, cam, bg, st, n_shard,
-                                        pair_budget)
+            img, num_pairs = _render_from_gathered(
+                table, cam, bg, st, n_shard, pair_budget,
+                truncate=raster_cfg.truncate_tiles)
             loss = losses.photometric_loss(img, cam.image, opt_cfg.lambda_dssim)
-            return loss, (radii, num_vis)
+            return loss, (radii, num_vis, num_pairs)
 
-        (loss, (radii, num_vis)), (g_params, g_offset) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(params, offset0)
+        (loss, (radii, num_vis, num_pairs)), (g_params, g_offset) = (
+            jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                params, offset0))
 
         # the redundant per-device loss makes cotangents arrive x n_shard;
         # the splat psum_scatter already summed over devices (see module
@@ -252,6 +235,9 @@ def make_gauss_sharded_train_step(
             "num_visible_max": jax.lax.pmax(
                 jax.lax.pmax(num_vis, SHARD_AXIS), DATA_AXIS
             ),
+            "num_pairs_max": jax.lax.pmax(
+                jax.lax.pmax(num_pairs, SHARD_AXIS), DATA_AXIS
+            ),
         }
         return state.with_params(new_params), new_adam, new_stats, metrics
 
@@ -271,7 +257,7 @@ def make_gauss_sharded_train_step(
         shard_specs(state_t, capacity),
         shard_specs(adam_t, capacity),
         shard_specs(stats_t, capacity),
-        {"loss": P(), "num_visible_max": P()},
+        {"loss": P(), "num_visible_max": P(), "num_pairs_max": P()},
     )
     smapped = jax.shard_map(
         _local_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,

@@ -52,16 +52,86 @@ def _tile_grid(height, width, cfg):
     return tiles_x, tiles_y
 
 
+def local_to_global_tiles(st, n_shard, me):
+    """Global tile ids for a device's column strip (compact local order).
+
+    Tile column ownership: global column ``gx`` belongs to device
+    ``gx % n_shard``; device ``me`` owns compact columns ``cx`` with
+    ``gx = me + cx * n_shard``. Returns (global_ids [T_local], valid).
+    """
+    tiles_x_c = -(-st.tiles_x // n_shard)
+    local = jnp.arange(st.tiles_y * tiles_x_c, dtype=jnp.int32)
+    ty = local // tiles_x_c
+    gx = me + (local % tiles_x_c) * n_shard
+    valid = gx < st.tiles_x
+    return ty * st.tiles_x + jnp.minimum(gx, st.tiles_x - 1), valid
+
+
+def composite_strip(st, means2d, depths, bin_radii_v, attr, n_shard, me,
+                    pair_budget, truncate):
+    """Bin + gather + composite ONE device's tile-column strip.
+
+    The de-replicated kernel of both sharded layouts (SURVEY.md §2.4 row 3):
+    every pair-proportional stage runs on the local strip only, dividing the
+    pre-composite cost by the shard count. Returns
+    (tile_color [T_local,P,3] with bg NOT applied, tile_t, local num_pairs).
+    """
+    local_budget = max(-(-(pair_budget // n_shard) // st.chunk) * st.chunk,
+                       st.chunk)
+    ab = binning.bin_gaussians_aligned(
+        means2d, depths, bin_radii_v,
+        st.tiles_x, st.tiles_y, st.tile_w, st.tile_h, local_budget, st.chunk,
+        col_stride=n_shard, col_offset=me, sort_payload=attr,
+    )
+    # ONE packed gather per local pair through the depth-sorted attribute
+    # table (carried by the depth sort) + zero NULL row (padding pairs index
+    # it; no mask pass needed)
+    attr_ds = jnp.concatenate(
+        [ab.payload_ds, jnp.zeros((1, ATTR_W), jnp.float32)]
+    )
+    sp_attr = attr_ds[ab.pair_slot]
+
+    my_tiles, _ = local_to_global_tiles(st, n_shard, me)
+    ends = ab.ends
+    if truncate:
+        from gs_tpu.ops.rasterize_tiled import effective_ends
+
+        ends = effective_ends(st, jax.lax.stop_gradient(sp_attr),
+                              my_tiles, ab.starts, ab.ends)
+
+    tile_color, tile_t, _ = composite_tiles(
+        st, sp_attr, my_tiles, ab.starts, ends
+    )
+    return tile_color, tile_t, ab.num_pairs
+
+
+def reassemble_strips(st, n_shard, tile_color, height, width):
+    """all_gather every device's column strip into the full [3,H,W] image."""
+    p = st.tile_w * st.tile_h
+    tiles_x_c = -(-st.tiles_x // n_shard)
+    all_tiles = jax.lax.all_gather(tile_color, SHARD_AXIS, axis=0, tiled=False)
+    # [D, ty*cxm, P, 3] -> [ty, cxm, D, P, 3]: global column gx = cx*D + d
+    by_col = all_tiles.reshape(n_shard, st.tiles_y, tiles_x_c, p, 3)
+    full = by_col.transpose(1, 2, 0, 3, 4).reshape(
+        st.tiles_y, tiles_x_c * n_shard, p, 3
+    )[:, : st.tiles_x]
+    img = full.reshape(st.tiles_y, st.tiles_x, st.tile_h, st.tile_w, 3)
+    img = img.transpose(4, 0, 2, 1, 3).reshape(
+        3, st.tiles_y * st.tile_h, st.tiles_x * st.tile_w
+    )
+    return img[:, :height, :width]
+
+
 def _sharded_render_image(state, camera, bg, st, cfg, active_sh_degree, n_shard,
                           pair_budget, means2d_offset=None):
     """Render one camera inside shard_map; returns full [3,H,W] image.
 
-    Runs on every device of the ``shard`` axis: replicated preprocess +
-    binning, sharded compositing, all_gather reassembly.
+    Projection/SH is cheap and stays replicated; binning/gather/compositing
+    run per-strip (:func:`composite_strip`); one image all_gather
+    reassembles (needed anyway: SSIM's 11x11 window crosses tile borders).
+    Also returns the device's true local pair count for overflow watching.
     """
     me = jax.lax.axis_index(SHARD_AXIS)
-    num_tiles = st.tiles_x * st.tiles_y
-    tiles_per_dev = -(-num_tiles // n_shard)
 
     cov3d = projection.compute_cov3d(state.log_scale, state.quat, 1.0)
     splats = projection.project_gaussians(state.xyz, cov3d, camera)
@@ -74,42 +144,15 @@ def _sharded_render_image(state, camera, bg, st, cfg, active_sh_degree, n_shard,
                                   state.features_rest, camera.cam_pos,
                                   active_sh_degree)
 
-    ab = binning.bin_gaussians_aligned(
-        means2d, splats.depths, projection.bin_radii(radii, opac),
-        st.tiles_x, st.tiles_y, st.tile_w, st.tile_h, pair_budget, st.chunk,
-    )
-    # ONE packed gather per pair through the depth-sorted attribute table +
-    # zero NULL row (padding pairs index it; no mask pass needed)
     attr = pack_attributes(means2d, splats.conics, colors, opac)
-    attr_ds = jnp.concatenate(
-        [attr[ab.depth_order], jnp.zeros((1, ATTR_W), jnp.float32)]
-    )
-    sp_attr = attr_ds[ab.pair_slot]
-
-    # interleaved tile ownership: tile ids me, me+n_shard, ... (padded w/ empty)
-    local_ranks = jnp.arange(tiles_per_dev, dtype=jnp.int32)
-    my_tiles = me + local_ranks * n_shard
-    in_range = my_tiles < num_tiles
-    my_tiles_safe = jnp.minimum(my_tiles, num_tiles - 1)
-    starts = jnp.where(in_range, ab.starts[my_tiles_safe], 0)
-    ends = jnp.where(in_range, ab.ends[my_tiles_safe], 0)
-
-    tile_color, tile_t, _ = composite_tiles(
-        st, sp_attr, my_tiles_safe, starts, ends
+    tile_color, tile_t, num_pairs = composite_strip(
+        st, means2d, splats.depths, projection.bin_radii(radii, opac), attr,
+        n_shard, me, pair_budget, cfg.truncate_tiles,
     )
     tile_color = tile_color + tile_t[..., None] * bg[None, None, :]
-
-    # reassemble: gather everyone's tile shard, undo the interleave
-    all_tiles = jax.lax.all_gather(tile_color, SHARD_AXIS, axis=0, tiled=False)
-    # all_tiles [n_shard, tiles_per_dev, P, 3]; tile id (d, r) = d + r*n_shard
-    full = jnp.swapaxes(all_tiles, 0, 1).reshape(
-        tiles_per_dev * n_shard, tile_color.shape[1], 3
-    )[:num_tiles]
-    img = full.reshape(st.tiles_y, st.tiles_x, st.tile_h, st.tile_w, 3)
-    img = img.transpose(4, 0, 2, 1, 3).reshape(
-        3, st.tiles_y * st.tile_h, st.tiles_x * st.tile_w
-    )
-    return img[:, : camera.height, : camera.width], radii
+    img = reassemble_strips(st, n_shard, tile_color, camera.height,
+                            camera.width)
+    return img, radii, num_pairs
 
 
 def make_sharded_train_step(
@@ -152,13 +195,14 @@ def make_sharded_train_step(
 
         def loss_fn(p, offset):
             s = state.with_params(p)
-            img, radii = _sharded_render_image(
+            img, radii, num_pairs = _sharded_render_image(
                 s, cam, bg, st, raster_cfg, active_sh_degree, n_shard, pair_budget,
                 means2d_offset=offset,
             )
-            return losses.photometric_loss(img, cam.image, opt_cfg.lambda_dssim), radii
+            loss = losses.photometric_loss(img, cam.image, opt_cfg.lambda_dssim)
+            return loss, (radii, num_pairs)
 
-        (loss, radii), (g_params, g_offset) = jax.value_and_grad(
+        (loss, (radii, num_pairs)), (g_params, g_offset) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(params, offset0)
 
@@ -205,13 +249,21 @@ def make_sharded_train_step(
             denom=stats.denom + d_denom,
             max_radii2d=jnp.maximum(stats.max_radii2d, r_max),
         )
-        return state.with_params(new_params), new_adam, stats, loss
+        # worst per-device LOCAL pair count vs the local budget: callers grow
+        # pair_budget_factor on overflow (same contract as single-device)
+        metrics = {
+            "loss": loss,
+            "num_pairs_max": jax.lax.pmax(
+                jax.lax.pmax(num_pairs, SHARD_AXIS), DATA_AXIS
+            ),
+        }
+        return state.with_params(new_params), new_adam, stats, metrics
 
     smapped = jax.shard_map(
         _local_step,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(DATA_AXIS), P(), P(), P()),
-        out_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), {"loss": P(), "num_pairs_max": P()}),
         check_vma=False,
     )
     return jax.jit(smapped)
@@ -242,7 +294,7 @@ def make_sharded_render(
     )
 
     def _render(state, camera, bg):
-        img, _ = _sharded_render_image(
+        img, _, _ = _sharded_render_image(
             state, camera, bg, st, raster_cfg, active_sh_degree, n_shard, pair_budget
         )
         return img

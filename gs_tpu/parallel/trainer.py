@@ -53,6 +53,10 @@ from gs_tpu.utils import profiling
 def _group_by_resolution(cams):
     groups: dict[tuple[int, int], list] = {}
     for c in cams:
+        if c.image is None:
+            # not owned by this host (gs_tpu.data.multihost pipeline):
+            # params-only camera, another process feeds its batch slots
+            continue
         groups.setdefault((c.width, c.height), []).append(c)
     return groups
 
@@ -98,8 +102,8 @@ def run_training_parallel(
     seed: int = 0,
 ):
     """The reference training loop over a (data, shard) mesh."""
-    from gs_tpu.training import (evaluate_and_report, eval_render,
-                                 GROW_FACTOR, GROW_WATERMARK, TrainState)
+    from gs_tpu.training import (evaluate_and_report, GROW_FACTOR,
+                                 GROW_WATERMARK, TrainState)
     from gs_tpu.utils import ckpt as ckpt_mod
     from gs_tpu.utils import metrics as metrics_mod
 

@@ -19,6 +19,7 @@ import numpy as np
 from gs_tpu import cameras as cam_mod
 from gs_tpu.config import ModelParams
 from gs_tpu.data import images as img_mod
+from gs_tpu.data import multihost
 from gs_tpu.data import ply as ply_mod
 from gs_tpu.data import readers
 from gs_tpu.models import gaussians
@@ -130,16 +131,30 @@ class Scene:
         self.train_cameras: dict[float, list[cam_mod.Camera]] = {}
         self.test_cameras: dict[float, list[cam_mod.Camera]] = {}
         data_device = getattr(args, "data_device", "tpu")
+        # multi-host input pipeline (SURVEY.md §2.4 row 7): each host reads
+        # ground-truth images only for its owned train cameras; params-only
+        # cameras are built for the rest. Ownership indexes the post-shuffle
+        # order, which is identical on every host (safe_state seeds RNGs).
+        pid, pcount = multihost.process_info()
         for scale in resolution_scales:
             print("Loading Training Cameras")
             self.train_cameras[scale] = [
-                load_camera(c, args.resolution, scale, load_images, data_device)
-                for c in info.train_cameras
+                load_camera(
+                    c, args.resolution, scale,
+                    load_images and multihost.should_load_image(i, pid, pcount),
+                    data_device,
+                )
+                for i, c in enumerate(info.train_cameras)
             ]
             print("Loading Test Cameras")
             self.test_cameras[scale] = [
-                load_camera(c, args.resolution, scale, load_images, data_device)
-                for c in info.test_cameras
+                load_camera(
+                    c, args.resolution, scale,
+                    load_images and multihost.should_load_image(
+                        i, pid, pcount, is_test=True),
+                    data_device,
+                )
+                for i, c in enumerate(info.test_cameras)
             ]
 
         if self.loaded_iter:

@@ -217,3 +217,79 @@ class TestResolutionPolicy:
 
     def test_custom_width(self):
         assert images.target_resolution(1000, 500, 250) == (250, 125)
+
+
+class TestMultihostPipeline:
+    """Per-host camera ownership (SURVEY.md §2.4 row 7): each mocked host
+    reads only its owned train images; test images load everywhere."""
+
+    @pytest.fixture
+    def blender_scene(self, tmp_path):
+        rng = np.random.default_rng(5)
+        for split, count in [("train", 6), ("test", 2)]:
+            frames = []
+            d = tmp_path / split
+            d.mkdir()
+            for i in range(count):
+                c2w = np.eye(4)
+                c2w[:3, 3] = [0, 0, 3.0 + i * 0.1]
+                frames.append(
+                    {"file_path": f"./{split}/r_{i}", "transform_matrix": c2w.tolist()}
+                )
+                rgba = rng.integers(0, 255, (20, 20, 4)).astype(np.uint8)
+                Image.fromarray(rgba, "RGBA").save(d / f"r_{i}.png")
+            with open(tmp_path / f"transforms_{split}.json", "w") as f:
+                json.dump({"camera_angle_x": 0.8, "frames": frames}, f)
+        return tmp_path
+
+    def test_owned_indices_partition(self):
+        from gs_tpu.data import multihost
+
+        a = multihost.owned_indices(10, 0, 2)
+        b = multihost.owned_indices(10, 1, 2)
+        assert sorted(a + b) == list(range(10))
+        assert not set(a) & set(b)
+        assert multihost.owned_indices(10, 0, 1) == list(range(10))
+
+    def test_each_host_reads_only_its_files(self, blender_scene, tmp_path,
+                                            monkeypatch):
+        from gs_tpu.data import images as img_mod
+        from gs_tpu.data import multihost
+        from gs_tpu.scene import Scene
+
+        loads_by_host = {}
+        real_load = img_mod.load_image
+
+        for host in (0, 1):
+            opened = []
+            monkeypatch.setattr(
+                "gs_tpu.scene.multihost.process_info", lambda h=host: (h, 2)
+            )
+
+            def recording_load(path, _opened=opened):
+                # split-qualified name: train/ and test/ reuse basenames
+                _opened.append("/".join(path.replace("\\", "/").split("/")[-2:]))
+                return real_load(path)
+
+            monkeypatch.setattr("gs_tpu.scene.img_mod.load_image",
+                                recording_load)
+            args = ModelParams(
+                source_path=str(blender_scene),
+                model_path=str(tmp_path / f"out{host}"), eval=True,
+            )
+            scene = Scene(args, shuffle=False)
+            cams = scene.get_train_cameras()
+            # owned cameras carry images; the rest are params-only
+            with_img = [i for i, c in enumerate(cams) if c.image is not None]
+            assert with_img == multihost.owned_indices(len(cams), host, 2)
+            for c in scene.get_test_cameras():
+                assert c.image is not None  # test split loads everywhere
+            loads_by_host[host] = set(opened)
+
+        # the two hosts' TRAIN reads are disjoint; only test images overlap
+        overlap = loads_by_host[0] & loads_by_host[1]
+        assert overlap == {"test/r_0.png", "test/r_1.png"}
+        # and together they read all 6 train images exactly once
+        train_only = (loads_by_host[0] | loads_by_host[1]) - overlap
+        assert len(train_only) == 6
+        assert all(f.startswith("train/") for f in train_only)

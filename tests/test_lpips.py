@@ -53,3 +53,68 @@ class TestLpips:
         diff2 = float(fn(jnp.asarray(y), jnp.asarray(x)))
         np.testing.assert_allclose(diff, diff2, rtol=1e-5)
         lpips_mod._load_weights.cache_clear()
+
+
+class TestTorchOracleEquivalence:
+    """JAX port vs a test-local torch implementation of the reference recipe.
+
+    The reference LPIPS (lpipsPyTorch/modules/{lpips,networks,utils}.py) is
+    torchvision VGG16 conv features tapped at relu{1_2,2_2,3_3,4_3,5_3},
+    z-scored inputs, channel-unit-normalized activations, squared diffs
+    through 1x1 lin weights, spatial mean, sum over layers. torchvision is
+    absent here, so the oracle builds the identical conv/relu/maxpool
+    pipeline in plain torch from the SAME weight npz; agreement validates
+    every architectural choice of the port (the only thing left untested
+    offline is the pretrained weight VALUES, which convert_torch_weights
+    fetches verbatim).
+    """
+
+    def _torch_lpips(self, w, x, y):
+        import torch
+
+        def features(img):
+            t = torch.from_numpy(img[None].copy())
+            mean = torch.from_numpy(w["mean"]).reshape(1, 3, 1, 1)
+            std = torch.from_numpy(w["std"]).reshape(1, 3, 1, 1)
+            t = (t - mean) / std
+            taps = []
+            for i, (_cout, pool) in enumerate(lpips_mod._VGG_PLAN):
+                if pool:
+                    t = torch.nn.functional.max_pool2d(t, 2, 2)
+                kernel = torch.from_numpy(
+                    w[f"conv{i}_w"].transpose(3, 2, 0, 1).copy())  # OIHW
+                bias = torch.from_numpy(w[f"conv{i}_b"])
+                t = torch.nn.functional.conv2d(t, kernel, bias, padding=1)
+                t = torch.relu(t)
+                if i in lpips_mod._TAP_LAYERS:
+                    taps.append(t[0])
+            return taps
+
+        def unit(f):
+            return f / (torch.sqrt((f * f).sum(0, keepdim=True)) + 1e-10)
+
+        total = 0.0
+        for j, (a, b) in enumerate(zip(features(x), features(y))):
+            diff = (unit(a) - unit(b)) ** 2
+            lin = torch.from_numpy(w[f"lin{j}_w"]).reshape(-1, 1, 1)
+            total = total + (lin * diff).sum(0).mean()
+        return float(total)
+
+    def test_port_matches_torch_oracle(self, monkeypatch, tmp_path):
+        torch = pytest.importorskip("torch")  # noqa: F841
+        rng = np.random.default_rng(3)
+        w = _tiny_vgg_weights(rng)
+        path = tmp_path / "w.npz"
+        np.savez(path, **w)
+        monkeypatch.setenv("GS_TPU_LPIPS_WEIGHTS", str(path))
+        lpips_mod._load_weights.cache_clear()
+        fn = lpips_mod.lpips_fn()
+        assert fn is not None
+
+        x = rng.uniform(0, 1, (3, 37, 41)).astype(np.float32)
+        y = np.clip(x + rng.normal(0, 0.12, x.shape), 0, 1).astype(np.float32)
+        ours = float(fn(x, y))
+        oracle = self._torch_lpips(w, x, y)
+        assert oracle > 1e-6
+        np.testing.assert_allclose(ours, oracle, rtol=2e-4)
+        lpips_mod._load_weights.cache_clear()

@@ -59,9 +59,11 @@ class TestShardedTrainStep:
         stats = densify.DensifyStats.zeros(st.capacity)
         cam_batch = cameras.stack_cameras([cam])
 
-        s_state, s_adam, s_stats, s_loss = step(
+        s_state, s_adam, s_stats, sm = step(
             st, adam, stats, cam_batch, jnp.zeros(3), jnp.int32(0), jnp.float32(1.0)
         )
+        s_loss = sm["loss"]
+        assert int(sm["num_pairs_max"]) > 0
         r_state, r_adam, r_stats, m = train_step(
             st, adam, stats, cam, jnp.zeros(3), jnp.int32(0), jnp.float32(1.0),
             active_sh_degree=1, opt_cfg=opt_cfg, raster_cfg=RCFG,
@@ -198,10 +200,10 @@ class TestGaussianSharded:
         adam = optim.init(st.params())
         stats = densify.DensifyStats.zeros(st.capacity)
         batch = cameras.stack_cameras([cam0, cam1])
-        s_state, _, s_stats, loss = step(
+        s_state, _, s_stats, sm = step(
             st, adam, stats, batch, jnp.zeros(3), jnp.int32(0), jnp.float32(1.0)
         )
-        assert np.isfinite(float(loss))
+        assert np.isfinite(float(sm["loss"]))
         assert float(jnp.abs(s_state.xyz - st.xyz).max()) > 0
         # stats counted both cameras
         assert float(s_stats.denom.max()) >= 2.0

@@ -147,3 +147,89 @@ class TestTiledVsOracle:
         assert bool(jnp.all(jnp.isfinite(g_opac)))
         assert float(jnp.abs(g_opac).sum()) > 0
         assert bool(jnp.all(g_bg > 0))  # bg visible somewhere
+
+
+class TestTruncation:
+    """effective_ends / ncon-trim are EXACTLY output-preserving."""
+
+    def _deep_scene(self, n=512, seed=3):
+        # many big opaque splats stacked on few tiles. The tile-death proof
+        # needs splats whose footprint covers a whole tile (alpha at the
+        # worst corner >= 1/255), so sigma ~ 10px vs 16px tiles here;
+        # smaller splats keep ends_eff == ends (bound correctly never fires)
+        rng = np.random.default_rng(seed)
+        means2d = jnp.asarray(
+            rng.uniform(2, 30, (n, 2)).astype(np.float32))
+        conics = jnp.tile(jnp.asarray([[0.01, 0.0, 0.01]], jnp.float32), (n, 1))
+        colors = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+        opac = jnp.full((n,), 0.95, jnp.float32)
+        depths = jnp.asarray(rng.uniform(1, 5, (n,)).astype(np.float32))
+        radii = jnp.full((n,), 33, jnp.int32)
+        return means2d, conics, colors, opac, depths, radii
+
+    def test_effective_ends_truncates_and_preserves_output(self):
+        from gs_tpu.config import RasterizeConfig
+        from gs_tpu.ops.rasterize_tiled import rasterize_tiled
+
+        args = self._deep_scene()
+        h = w = 32
+        bg = jnp.asarray([0.2, 0.3, 0.4])
+        base = dict(backend="xla", chunk=32, tile_w=16, tile_h=16,
+                    min_pair_budget=1 << 12)
+        on = rasterize_tiled(*args, h, w, bg, RasterizeConfig(**base))
+        off = rasterize_tiled(*args, h, w, bg,
+                              RasterizeConfig(**base, truncate_tiles=False))
+        np.testing.assert_array_equal(np.asarray(on.image),
+                                      np.asarray(off.image))
+        np.testing.assert_array_equal(np.asarray(on.final_t),
+                                      np.asarray(off.final_t))
+
+    def test_gradients_identical_with_truncation(self):
+        from gs_tpu.config import RasterizeConfig
+        from gs_tpu.ops.rasterize_tiled import rasterize_tiled
+
+        args = self._deep_scene(n=256)
+        h = w = 32
+        bg = jnp.zeros(3)
+        base = dict(backend="xla", chunk=32, tile_w=16, tile_h=16,
+                    min_pair_budget=1 << 12)
+
+        def loss(means2d, colors, opac, cfg):
+            out = rasterize_tiled(means2d, args[1], colors, opac, args[4],
+                                  args[5], h, w, bg, cfg)
+            return jnp.sum(out.image * out.image) + jnp.sum(out.final_t)
+
+        g_on = jax.grad(loss, argnums=(0, 1, 2))(
+            args[0], args[2], args[3], RasterizeConfig(**base))
+        g_off = jax.grad(loss, argnums=(0, 1, 2))(
+            args[0], args[2], args[3],
+            RasterizeConfig(**base, truncate_tiles=False))
+        for a, b in zip(g_on, g_off):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
+    def test_truncation_actually_trims(self):
+        from gs_tpu.config import RasterizeConfig
+        from gs_tpu.ops import binning
+        from gs_tpu.ops.rasterize_tiled import (CompositeStatic,
+                                                effective_ends,
+                                                pack_attributes)
+        from gs_tpu.ops.projection import bin_radii
+
+        means2d, conics, colors, opac, depths, radii = self._deep_scene()
+        st = CompositeStatic(tiles_x=2, tiles_y=2, tile_w=16, tile_h=16,
+                             chunk=32, tile_batch=64, backend="xla")
+        ab = binning.bin_gaussians_aligned(
+            means2d, depths, bin_radii(radii, opac), 2, 2, 16, 16,
+            1 << 12, 32)
+        attr = pack_attributes(means2d, conics, colors, opac)
+        attr_ds = jnp.concatenate([attr[ab.depth_order],
+                                   jnp.zeros((1, 9), jnp.float32)])
+        sp = attr_ds[ab.pair_slot]
+        ends_eff = effective_ends(st, sp, jnp.arange(4, dtype=jnp.int32),
+                                  ab.starts, ab.ends)
+        assert bool(jnp.all(ends_eff >= ab.starts))
+        assert bool(jnp.all(ends_eff <= ab.ends))
+        # 512 splats with opacity .95 on 4 tiles: the tail must be provably
+        # dead well before the true ends
+        assert int(jnp.sum(ab.ends - ends_eff)) > 0
