@@ -76,15 +76,6 @@ def main():
     cfg = RasterizeConfig(backend=BACKEND, chunk=CHUNK, tile_w=TILE_W,
                           tile_h=TILE_H, pair_budget_factor=1.0)
 
-    def timed(fn, *args, iters=10):
-        out = fn(*args)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / iters, out
-
     # honest pair budget: grow until nothing is truncated before timing
     @jax.jit
     def probe(state):
@@ -95,40 +86,76 @@ def main():
     cfg = dataclasses.replace(
         cfg, pair_budget_factor=1.05 * num_pairs / N_GAUSS)
 
+    # Timing protocol for the tunneled TPU (see benchmarks/micro_datamove):
+    # every iteration is CHAINED through the previous scalar (identical
+    # independent calls have been observed to elide — 39 Gpx/s "results"),
+    # variation + chaining live INSIDE the one jit per step (host-side aux
+    # ops cost a tunnel round trip each), and the tunnel's per-dispatch
+    # round-trip cost — measured with a trivial chained jit — is subtracted
+    # (it is an artifact of the development tunnel, not of the step; on a
+    # locally-attached chip it is microseconds).
+    def timed_chain(fn, iters=10):
+        s = fn(np.float32(0), jnp.float32(0.0))
+        float(s)
+        t0 = time.perf_counter()
+        for i in range(1, iters + 1):
+            s = fn(np.float32(i), s)
+        float(s)
+        return (time.perf_counter() - t0) / iters
+
+    tiny = jax.jit(lambda i, prev: prev * 0.5 + i)
+    rtt = timed_chain(lambda i, prev: tiny(i, prev), iters=20)
+
+    def grads_sum(grads):
+        return sum(jnp.sum(g) for g in jax.tree.leaves(grads))
+
     @jax.jit
-    def fwd_bwd(state):
+    def fwd_bwd(state, i, prev):
+        bg = jnp.full((3,), 1e-12, jnp.float32) * i + 1e-30 * prev
+
         def loss_fn(params):
             out = render(cam, state.with_params(params), active_sh_degree=3,
-                         bg_color=jnp.zeros(3), cfg=cfg)
+                         bg_color=bg, cfg=cfg)
             return losses.l1_loss(out.image, target)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params())
-        return loss, grads
+        # consume every gradient leaf: returning only the loss lets XLA
+        # dead-code-eliminate the entire backward pass (and 0.0*x can be
+        # algebraically folded — the epsilon weight cannot)
+        return loss + 1e-30 * grads_sum(grads)
 
-    dt, _ = timed(fwd_bwd, state)
+    dt = max(timed_chain(lambda i, prev: fwd_bwd(state, i, prev)) - rtt, 1e-6)
     pix_per_s = H * W / dt
 
     # forward-only render (the reference headline's own shape)
     @jax.jit
-    def fwd_only(state):
-        return render(cam, state, active_sh_degree=3, bg_color=jnp.zeros(3),
-                      cfg=cfg).image
+    def fwd_only(state, i, prev):
+        bg = jnp.full((3,), 1e-12, jnp.float32) * i + 1e-30 * prev
+        return jnp.sum(render(cam, state, active_sh_degree=3, bg_color=bg,
+                              cfg=cfg).image)
 
-    dt_fwd, _ = timed(fwd_only, state)
+    dt_fwd = max(timed_chain(lambda i, prev: fwd_only(state, i, prev)) - rtt,
+                 1e-6)
 
-    # the real training step: SSIM + Adam + densify stats included
+    # the real training step (SSIM + Adam + densify stats); chained through
+    # a scalar folded into bg, params held fixed so every iteration does
+    # identical work
     opt_cfg = OptimizationParams()
     adam = optim.init(state.params())
     stats = densify.DensifyStats.zeros(state.capacity)
 
-    def full_step(state, adam, stats):
-        return train_step(
-            state, adam, stats, cam, jnp.zeros(3), jnp.int32(100),
+    @jax.jit
+    def full_step(i, prev):
+        bg = jnp.full((3,), 1e-12, jnp.float32) * i + 1e-30 * prev
+        st, ad, sts, m = train_step(
+            state, adam, stats, cam, bg, jnp.int32(100),
             jnp.float32(1.0), active_sh_degree=3, opt_cfg=opt_cfg,
             raster_cfg=cfg, accumulate_stats=True,
         )
+        return (m["loss"] + 1e-30 * grads_sum(st.params())
+                + 1e-30 * grads_sum(ad.mu) + 1e-30 * sts.denom.sum())
 
-    dt_train, _ = timed(full_step, state, adam, stats)
+    dt_train = max(timed_chain(full_step) - rtt, 1e-6)
 
     print(json.dumps({
         "metric": f"fwd+bwd pixels/s @1080p ({N_GAUSS} gaussians, {platform})",
@@ -140,6 +167,7 @@ def main():
         "train_step_ms": round(dt_train * 1e3, 2),
         "num_pairs": num_pairs,
         "pair_budget_factor": cfg.pair_budget_factor,
+        "tunnel_rtt_ms": round(rtt * 1e3, 2),
     }))
 
 

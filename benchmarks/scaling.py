@@ -2,10 +2,17 @@
 
 Measures the sharded train step's wall time as the ``shard`` axis widens,
 reporting parallel efficiency vs 1 device. On real pod hardware this is the
-1 chip -> 1 host -> N hosts sweep; on this box it runs on the virtual CPU
-mesh (set JAX_PLATFORMS=cpu implicitly below unless real devices exist) —
-the harness and the metric are the deliverable, the CPU numbers only sanity-
-check that the sharded step scales at all.
+1 chip -> 1 host -> N hosts sweep.
+
+On THIS box the mesh is 8 virtual devices on ONE physical CPU core, so
+devices execute serially and wall time cannot drop with shard count; what
+the virtual numbers CAN bound is the de-replication of per-device work:
+with the column-strip forward (round 2) the pair-proportional stages run
+on 1/D of the pairs per device, so serialized wall time grows sub-linearly
+in D for pair-dominated shapes, where the old fully-replicated forward grew
+~linearly. XLA:CPU collective overhead (all_gather per step) still swamps
+small shapes — treat these numbers as a harness check, and run
+GS_TPU_SCALING_REAL=1 on an actual slice for the config-5 sweep.
 
 Usage: python benchmarks/scaling.py [--layout tiles|gauss] [--res 128]
 """

@@ -97,6 +97,31 @@ class AlignedBinningOut(NamedTuple):
     payload_ds: jnp.ndarray | None = None  # [N, K] sort_payload, depth order
 
 
+def vec_cumsum(x: jnp.ndarray) -> jnp.ndarray:
+    """1-D inclusive cumsum as a [rows, 128] two-level scan.
+
+    Small scans feeding Pallas scalar-prefetch operands inherit SMEM
+    layouts and lower to ~1.7 ms serial loops each (round-2 trace, arrays
+    of just a few thousand elements). The reshaped form keeps the work on
+    full vector registers.
+    """
+    return _cumsum_cols([x])[0]
+
+
+def vec_cummax(x: jnp.ndarray) -> jnp.ndarray:
+    """1-D inclusive cummax, same vectorized 2-level structure."""
+    n = x.shape[0]
+    pad = (-n) % 128
+    lo = jnp.iinfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.integer) \
+        else -jnp.inf
+    v = jnp.concatenate([x, jnp.full((pad,), lo, x.dtype)]) if pad else x
+    v2 = v.reshape(-1, 128)
+    within = jax.lax.cummax(v2, axis=1)
+    carries = jax.lax.cummax(within[:, -1], axis=0)
+    prev = jnp.concatenate([jnp.full((1,), lo, x.dtype), carries[:-1]])
+    return jnp.maximum(within, prev[:, None]).reshape(-1)[:n]
+
+
 def _cumsum_cols(x_cols):
     """Exact column-wise prefix sums, one [bo, 128] 2-level scan per column.
 
@@ -225,25 +250,33 @@ def bin_gaussians_aligned(
     #    contiguous, the fit mask is a depth prefix, so a slot is real iff
     #    slot < total surviving pairs.
     slot = jnp.arange(pair_budget, dtype=jnp.int32)
+    # pack the five owner fields into THREE int32 columns (scatter-add cost
+    # is per row x column; integer packing is delta/cumsum-exact):
+    #   colA = pair offset, colB = owner index (both unbounded),
+    #   colC = x0*2^18 + y0*2^9 + max(w,1)  (each field < 512 tiles)
+    assert tiles_x_c < (1 << 9) and tiles_y < (1 << 9), (
+        "pack width: widen colC fields for >512-tile grids")
+    w1 = jnp.maximum(w, 1)
     vals = jnp.stack(
-        [offsets, sx0, sy0, jnp.maximum(w, 1),
-         jnp.arange(n, dtype=jnp.int32)],
+        [offsets, jnp.arange(n, dtype=jnp.int32),
+         (sx0 << 18) + (sy0 << 9) + w1],
         axis=1,
-    )  # [N,5]
+    )  # [N,3]
     deltas = jnp.concatenate([vals[:1], vals[1:] - vals[:-1]])
-    buf = jnp.zeros((pair_budget + 1, 5), jnp.int32).at[offsets].add(
+    buf = jnp.zeros((pair_budget + 1, 3), jnp.int32).at[offsets].add(
         deltas, mode="drop"
     )
     # per-slot owner fields via layout-friendly per-column scans
-    ex_off, ex_x0, ex_y0, ex_w, ex_idx = _cumsum_cols(
-        [buf[:pair_budget, c] for c in range(5)]
+    ex_off, ex_idx, ex_c = _cumsum_cols(
+        [buf[:pair_budget, c] for c in range(3)]
     )
     owner = jnp.clip(ex_idx, 0, max(n - 1, 0)).astype(jnp.int32)
     local = slot - ex_off
+    ex_w = ex_c & 0x1FF
     total_fit = jnp.max(jnp.where(fit, inc_cum, 0))
     real_valid = slot < total_fit
-    tx = ex_x0 + local % ex_w
-    ty = ex_y0 + local // ex_w
+    tx = (ex_c >> 18) + local % ex_w
+    ty = ((ex_c >> 9) & 0x1FF) + local // ex_w
     real_tile = ty * tiles_x_c + tx
     real_key = jnp.where(real_valid, real_tile * 2, 2 * num_tiles + 2)
 

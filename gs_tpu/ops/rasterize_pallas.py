@@ -138,22 +138,26 @@ def _visit_tables(starts, ends, chunk, cap_chunks, reverse, dead_blk=None):
     scatter+cumsum idiom rather than ``searchsorted`` (which costs ~7 ms at
     this size on TPU, measured via trace round 2).
     """
+    from gs_tpu.ops.binning import vec_cummax, vec_cumsum
+
     if dead_blk is None:
         dead_blk = cap_chunks
     ncks = (ends - starts) // chunk  # [M], ranges are chunk-aligned
     m = starts.shape[0]
-    offs = jnp.cumsum(ncks) - ncks  # [M] exclusive
-    total = offs[-1] + ncks[-1] if m > 0 else jnp.int32(0)
+    inc = vec_cumsum(ncks)
+    offs = inc - ncks  # [M] exclusive
+    total = inc[-1] if m > 0 else jnp.int32(0)
 
     j = jnp.arange(cap_chunks, dtype=jnp.int32)
     # row[j] = the (nonempty) row whose chunk range contains step j: scatter
     # each nonempty row's index at its first step, then a running max fills
     # the range (for live steps this equals searchsorted(offs, j, "right")-1,
-    # which always lands on a nonempty row)
+    # which always lands on a nonempty row). vec_* scans keep these small
+    # scalar-prefetch-feeding arrays on the VPU (see binning.vec_cumsum).
     buf = jnp.full((cap_chunks + 1,), -1, jnp.int32).at[
         jnp.where(ncks > 0, offs, cap_chunks)
     ].max(jnp.arange(m, dtype=jnp.int32), mode="drop")
-    row = jax.lax.cummax(buf[:cap_chunks])
+    row = vec_cummax(buf[:cap_chunks])
     row = jnp.clip(row, 0, max(m - 1, 0))
     k = j - offs[row]
     if reverse:

@@ -180,11 +180,13 @@ def effective_ends(st: "CompositeStatic", sp_attr, tile_ids, starts, ends,
     m = tile_ids.shape[0]
     nonempty = ends > starts
 
+    from gs_tpu.ops.binning import vec_cumsum
+
     # owning entry per chunk (entries disjoint, ascending starts)
     marks = jnp.zeros(nchunks + 1, jnp.int32).at[
         jnp.where(nonempty, starts // s, nchunks)
     ].add(1, mode="drop")
-    owner = jnp.cumsum(marks[:nchunks]) - 1  # [-1 before first entry]
+    owner = vec_cumsum(marks[:nchunks]) - 1  # [-1 before first entry]
     owner_c = jnp.clip(owner, 0, max(m - 1, 0))
     chunk_pos = jnp.arange(nchunks, dtype=jnp.int32) * s
     covered = (owner >= 0) & (chunk_pos < ends[owner_c]) & nonempty[owner_c]
@@ -218,7 +220,7 @@ def effective_ends(st: "CompositeStatic", sp_attr, tile_ids, starts, ends,
     log_omb = jnp.log1p(-alpha_eff)  # <= 0
 
     chunk_log = jnp.sum(log_omb, axis=1)  # [nchunks]
-    cum_incl = jnp.cumsum(chunk_log)
+    cum_incl = vec_cumsum(chunk_log)
     cum_excl = cum_incl - chunk_log
     entry_base = cum_excl[jnp.where(nonempty, starts // s, 0)]  # [m]
     t_enter_log = cum_excl - entry_base[owner_c]  # log T_ub entering chunk
@@ -565,9 +567,11 @@ def rasterize_tiled(
     )
 
     # ONE packed gather per pair, through the depth-sorted attribute table
-    # (autodiff = one scatter-add of pair grads + one cheap [N] scatter);
     # + one zero NULL row: padding pairs index it (zero opacity), so no
-    # mask pass over [AB, attrs] is needed
+    # mask pass over [AB, attrs] is needed. The gather's autodiff (a wide
+    # row scatter-add, ~13 ns/row) IS the efficient backward here: a
+    # sort+segmented-tree alternative was tried round 2 and cost 3.5x —
+    # every columnwise pass over [AB, 9] pays the 9->128 lane padding.
     attr_ds = jnp.concatenate([ab.payload_ds, jnp.zeros((1, ATTR_W), _F32)])
     sp_attr = attr_ds[ab.pair_slot]
 

@@ -188,6 +188,8 @@ def run_training_parallel(
         sync = (iteration % log_every == 0 or iteration == opt_cfg.iterations
                 or iteration in test_iterations)
         if sync:
+            import dataclasses
+
             loss = float(metrics["loss"])
             if "num_visible_max" in metrics and parallel.visible_budget:
                 if int(metrics["num_visible_max"]) > parallel.visible_budget:
@@ -196,6 +198,24 @@ def run_training_parallel(
                         f"({int(metrics['num_visible_max'])} > "
                         f"{parallel.visible_budget}); splats dropped — raise "
                         f"ParallelConfig.visible_budget"
+                    )
+            if "num_pairs_max" in metrics:
+                # per-device strip budget (composite_strip): grow + recompile
+                # on overflow, like the single-device trainer's pair budget
+                budget = max(
+                    int(raster_cfg.pair_budget_factor * ts.state.capacity),
+                    raster_cfg.min_pair_budget,
+                ) // n_shard
+                if int(metrics["num_pairs_max"]) > budget:
+                    raster_cfg = dataclasses.replace(
+                        raster_cfg,
+                        pair_budget_factor=raster_cfg.pair_budget_factor * 1.5,
+                    )
+                    steps = _StepCache(mesh, opt_cfg, raster_cfg, parallel)
+                    print(
+                        f"[iter {iteration}] local pair budget overflow "
+                        f"({int(metrics['num_pairs_max'])} > {budget}); "
+                        f"factor -> {raster_cfg.pair_budget_factor:.1f}"
                     )
             ema_loss = loss if ema_loss is None else 0.4 * loss + 0.6 * ema_loss
         timer.stop(synced=sync)

@@ -40,7 +40,12 @@ def _gaussian_window(window_size: int, sigma: float) -> tuple[float, ...]:
 
 
 def _depthwise_blur(img: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
-    """[C,H,W] -> [C,H,W] separable Gaussian blur with SAME zero padding."""
+    """[C,H,W] -> [C,H,W] separable Gaussian blur with SAME zero padding.
+
+    All C channels ride ONE depthwise conv per axis — SSIM's five statistics
+    are stacked into a single [5*3,H,W] call by :func:`ssim` (ten separate
+    2-3 channel convs cost ~2x in launch/fusion overhead, trace round 2).
+    """
     c = img.shape[0]
     x = img[None]  # [1,C,H,W]
     kh = win.reshape(1, 1, -1, 1)
@@ -61,12 +66,16 @@ def _depthwise_blur(img: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = SSIM_WINDOW) -> jnp.ndarray:
     """Mean SSIM over a [C,H,W] pair in [0,1] (reference ``_ssim`` semantics)."""
     win = jnp.asarray(_gaussian_window(window_size, SSIM_SIGMA), jnp.float32)
-    mu1 = _depthwise_blur(img1, win)
-    mu2 = _depthwise_blur(img2, win)
+    c = img1.shape[0]
+    stacked = jnp.concatenate(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=0
+    )
+    blurred = _depthwise_blur(stacked, win)
+    mu1, mu2 = blurred[:c], blurred[c:2 * c]
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _depthwise_blur(img1 * img1, win) - mu1_sq
-    sigma2_sq = _depthwise_blur(img2 * img2, win) - mu2_sq
-    sigma12 = _depthwise_blur(img1 * img2, win) - mu1_mu2
+    sigma1_sq = blurred[2 * c:3 * c] - mu1_sq
+    sigma2_sq = blurred[3 * c:4 * c] - mu2_sq
+    sigma12 = blurred[4 * c:] - mu1_mu2
     ssim_map = ((2.0 * mu1_mu2 + SSIM_C1) * (2.0 * sigma12 + SSIM_C2)) / (
         (mu1_sq + mu2_sq + SSIM_C1) * (sigma1_sq + sigma2_sq + SSIM_C2)
     )

@@ -233,3 +233,4 @@ class TestTruncation:
         # 512 splats with opacity .95 on 4 tiles: the tail must be provably
         # dead well before the true ends
         assert int(jnp.sum(ab.ends - ends_eff)) > 0
+
