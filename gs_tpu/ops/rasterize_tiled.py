@@ -180,13 +180,17 @@ def effective_ends(st: "CompositeStatic", sp_attr, tile_ids, starts, ends,
     m = tile_ids.shape[0]
     nonempty = ends > starts
 
-    from gs_tpu.ops.binning import vec_cumsum
+    from gs_tpu.ops.binning import vec_cummax, vec_cumsum
 
-    # owning entry per chunk (entries disjoint, ascending starts)
-    marks = jnp.zeros(nchunks + 1, jnp.int32).at[
+    # owning entry per chunk (entries disjoint, ascending starts): scatter
+    # each nonempty entry's INDEX at its first chunk and running-max fills
+    # its range. (Counting nonempty marks instead indexes the nonempty
+    # subsequence — off by one per preceding empty tile; caught round 2 by
+    # scenes whose first tiles are empty.)
+    buf = jnp.full((nchunks + 1,), -1, jnp.int32).at[
         jnp.where(nonempty, starts // s, nchunks)
-    ].add(1, mode="drop")
-    owner = vec_cumsum(marks[:nchunks]) - 1  # [-1 before first entry]
+    ].max(jnp.arange(m, dtype=jnp.int32), mode="drop")
+    owner = vec_cummax(buf[:nchunks])  # [-1 before first entry]
     owner_c = jnp.clip(owner, 0, max(m - 1, 0))
     chunk_pos = jnp.arange(nchunks, dtype=jnp.int32) * s
     covered = (owner >= 0) & (chunk_pos < ends[owner_c]) & nonempty[owner_c]

@@ -234,3 +234,33 @@ class TestTruncation:
         # dead well before the true ends
         assert int(jnp.sum(ab.ends - ends_eff)) > 0
 
+
+
+class TestTruncationEmptyTiles:
+    def test_empty_leading_tiles_do_not_shift_owners(self):
+        """Regression (round 2): effective_ends mapped chunks to the wrong
+        entry when earlier tiles were empty, truncating every tile to its
+        predecessor's range (black images in orbit-camera scenes)."""
+        from gs_tpu.config import RasterizeConfig
+        from gs_tpu.ops.rasterize_tiled import rasterize_tiled
+
+        rng = np.random.default_rng(0)
+        n = 128
+        # splats only in the right half: left tile column stays empty
+        means2d = jnp.asarray(np.stack([
+            rng.uniform(34, 62, n), rng.uniform(2, 62, n)], 1).astype(np.float32))
+        conics = jnp.tile(jnp.asarray([[0.2, 0.0, 0.2]], jnp.float32), (n, 1))
+        colors = jnp.asarray(rng.uniform(0.2, 1, (n, 3)).astype(np.float32))
+        opac = jnp.full((n,), 0.8, jnp.float32)
+        depths = jnp.asarray(rng.uniform(1, 5, (n,)).astype(np.float32))
+        radii = jnp.full((n,), 8, jnp.int32)
+        base = dict(backend="xla", chunk=32, tile_w=16, tile_h=16,
+                    min_pair_budget=1 << 11)
+        on = rasterize_tiled(means2d, conics, colors, opac, depths, radii,
+                             64, 64, jnp.zeros(3), RasterizeConfig(**base))
+        off = rasterize_tiled(means2d, conics, colors, opac, depths, radii,
+                              64, 64, jnp.zeros(3),
+                              RasterizeConfig(**base, truncate_tiles=False))
+        assert float(off.image.mean()) > 0.01  # scene actually renders
+        np.testing.assert_array_equal(np.asarray(on.image),
+                                      np.asarray(off.image))
