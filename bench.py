@@ -31,6 +31,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent XLA compilation cache: recompiles dominate wall time on the
+# 1-core dev box (a full bench recompile is ~8 min)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/gs_tpu_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 H, W = 1080, 1920
 N_GAUSS = 262_144
 BASELINE_PIX_PER_S = 30 * 1920 * 1080  # reference: >=30fps @1080p fwd-only

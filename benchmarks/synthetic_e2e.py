@@ -21,6 +21,9 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+import os as _os
+jax.config.update("jax_compilation_cache_dir", _os.path.expanduser("~/.cache/gs_tpu_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 import jax.numpy as jnp
 import numpy as np
 
