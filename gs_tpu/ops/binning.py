@@ -81,10 +81,12 @@ class AlignedBinningOut(NamedTuple):
     depth_order[pair_slot]); gathering attributes through
     ``attr[depth_order][pair_slot]`` costs one cheap [N] gather instead of a
     second [AB] random gather, so prefer it on the hot path and let XLA DCE
-    ``pair_gauss`` away. Cheaper still: pass the packed table as
-    ``sort_payload`` and read ``payload_ds`` — the depth sort carries it
-    (payload columns are nearly free in ``lax.sort``), skipping the [N]
-    gather entirely.
+    ``pair_gauss`` away. ``sort_payload``/``payload_ds`` let extra columns
+    ride the depth sort — forward-cheap, but NOTE: for *differentiable*
+    payloads the sort's VJP decomposes into one [N] scatter-add per column
+    (measured 1.75 ms each at N=262k), so carry only non-differentiated
+    data this way and keep gradient-carrying tables on the wide-gather
+    path.
     """
 
     pair_gauss: jnp.ndarray  # [AB] int32, original Gaussian index
@@ -263,13 +265,17 @@ def bin_gaussians_aligned(
         axis=1,
     )  # [N,3]
     deltas = jnp.concatenate([vals[:1], vals[1:] - vals[:-1]])
-    buf = jnp.zeros((pair_budget + 1, 3), jnp.int32).at[offsets].add(
-        deltas, mode="drop"
-    )
+    # per-column 1-D scatters: a [B+1, 3] destination gets a padded-lane
+    # (3 -> 128) tiled layout, making one wide scatter ~3x dearer than
+    # three packed 1-D ones (trace round 2: 10.5 ms vs ~4)
+    bufs = [
+        jnp.zeros((pair_budget + 1,), jnp.int32).at[offsets].add(
+            deltas[:, c], mode="drop"
+        )[:pair_budget]
+        for c in range(3)
+    ]
     # per-slot owner fields via layout-friendly per-column scans
-    ex_off, ex_idx, ex_c = _cumsum_cols(
-        [buf[:pair_budget, c] for c in range(3)]
-    )
+    ex_off, ex_idx, ex_c = _cumsum_cols(bufs)
     owner = jnp.clip(ex_idx, 0, max(n - 1, 0)).astype(jnp.int32)
     local = slot - ex_off
     ex_w = ex_c & 0x1FF

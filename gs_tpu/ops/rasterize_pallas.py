@@ -153,11 +153,14 @@ def _visit_tables(starts, ends, chunk, cap_chunks, reverse, dead_blk=None):
     # each nonempty row's index at its first step, then a running max fills
     # the range (for live steps this equals searchsorted(offs, j, "right")-1,
     # which always lands on a nonempty row). vec_* scans keep these small
-    # scalar-prefetch-feeding arrays on the VPU (see binning.vec_cumsum).
-    buf = jnp.full((cap_chunks + 1,), -1, jnp.int32).at[
+    # scalar-prefetch-feeding arrays on the VPU (see binning.vec_cumsum),
+    # and the scatter itself runs in f32 — int scatters into these arrays
+    # get an SMEM layout and a ~1.7 ms serial loop (trace round 2); exact
+    # for values < 2^24
+    buf = jnp.full((cap_chunks + 1,), -1.0, jnp.float32).at[
         jnp.where(ncks > 0, offs, cap_chunks)
-    ].max(jnp.arange(m, dtype=jnp.int32), mode="drop")
-    row = vec_cummax(buf[:cap_chunks])
+    ].max(jnp.arange(m, dtype=jnp.float32), mode="drop")
+    row = vec_cummax(buf[:cap_chunks]).astype(jnp.int32)
     row = jnp.clip(row, 0, max(m - 1, 0))
     k = j - offs[row]
     if reverse:

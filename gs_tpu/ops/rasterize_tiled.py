@@ -186,11 +186,12 @@ def effective_ends(st: "CompositeStatic", sp_attr, tile_ids, starts, ends,
     # each nonempty entry's INDEX at its first chunk and running-max fills
     # its range. (Counting nonempty marks instead indexes the nonempty
     # subsequence — off by one per preceding empty tile; caught round 2 by
-    # scenes whose first tiles are empty.)
-    buf = jnp.full((nchunks + 1,), -1, jnp.int32).at[
+    # scenes whose first tiles are empty.) f32 scatter: int scatters into
+    # scalar-prefetch-feeding arrays lower to SMEM serial loops.
+    buf = jnp.full((nchunks + 1,), -1.0, jnp.float32).at[
         jnp.where(nonempty, starts // s, nchunks)
-    ].max(jnp.arange(m, dtype=jnp.int32), mode="drop")
-    owner = vec_cummax(buf[:nchunks])  # [-1 before first entry]
+    ].max(jnp.arange(m, dtype=jnp.float32), mode="drop")
+    owner = vec_cummax(buf[:nchunks]).astype(jnp.int32)  # -1 before 1st entry
     owner_c = jnp.clip(owner, 0, max(m - 1, 0))
     chunk_pos = jnp.arange(nchunks, dtype=jnp.int32) * s
     covered = (owner >= 0) & (chunk_pos < ends[owner_c]) & nonempty[owner_c]
@@ -230,10 +231,10 @@ def effective_ends(st: "CompositeStatic", sp_attr, tile_ids, starts, ends,
     t_enter_log = cum_excl - entry_base[owner_c]  # log T_ub entering chunk
 
     alive = covered & (t_enter_log > math.log(T_EPS * margin))
-    needed = jnp.zeros((m + 1,), jnp.int32).at[
+    needed = jnp.zeros((m + 1,), jnp.float32).at[
         jnp.where(covered, owner_c, m)
-    ].add(alive.astype(jnp.int32), mode="drop")[:m]
-    return starts + needed * s
+    ].add(alive.astype(jnp.float32), mode="drop")[:m]
+    return starts + needed.astype(jnp.int32) * s
 
 
 def ncon_trimmed_ends(st: "CompositeStatic", starts, ends, ncon_all):
@@ -562,21 +563,21 @@ def rasterize_tiled(
     # (see projection.bin_radii for the proof)
     from gs_tpu.ops.projection import bin_radii
 
-    # the packed attribute table rides the depth sort as payload columns
-    # (nearly free) instead of a separate [N, ATTR_W] permutation gather
     attr = pack_attributes(means2d, conics, colors, opacities)
     ab = binning.bin_gaussians_aligned(
         means2d, depths, bin_radii(radii, opacities), tiles_x, tiles_y,
-        cfg.tile_w, cfg.tile_h, pair_budget, cfg.chunk, sort_payload=attr,
+        cfg.tile_w, cfg.tile_h, pair_budget, cfg.chunk,
     )
 
     # ONE packed gather per pair, through the depth-sorted attribute table
     # + one zero NULL row: padding pairs index it (zero opacity), so no
-    # mask pass over [AB, attrs] is needed. The gather's autodiff (a wide
-    # row scatter-add, ~13 ns/row) IS the efficient backward here: a
-    # sort+segmented-tree alternative was tried round 2 and cost 3.5x —
-    # every columnwise pass over [AB, 9] pays the 9->128 lane padding.
-    attr_ds = jnp.concatenate([ab.payload_ds, jnp.zeros((1, ATTR_W), _F32)])
+    # mask pass over [AB, attrs] is needed. Wide row gathers/scatters ARE
+    # the efficient movers for differentiable data (the gather's autodiff
+    # is one wide scatter-add): carrying attrs as sort payload was tried
+    # round 2 and its VJP decomposed into nine 1.75 ms [N] scatter-adds;
+    # a sort+segmented-tree backward cost 3.5x via 9->128 lane padding.
+    attr_ds = jnp.concatenate([attr[ab.depth_order],
+                               jnp.zeros((1, ATTR_W), _F32)])
     sp_attr = attr_ds[ab.pair_slot]
 
     st = CompositeStatic(

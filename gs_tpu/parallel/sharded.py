@@ -81,13 +81,13 @@ def composite_strip(st, means2d, depths, bin_radii_v, attr, n_shard, me,
     ab = binning.bin_gaussians_aligned(
         means2d, depths, bin_radii_v,
         st.tiles_x, st.tiles_y, st.tile_w, st.tile_h, local_budget, st.chunk,
-        col_stride=n_shard, col_offset=me, sort_payload=attr,
+        col_stride=n_shard, col_offset=me,
     )
     # ONE packed gather per local pair through the depth-sorted attribute
-    # table (carried by the depth sort) + zero NULL row (padding pairs index
-    # it; no mask pass needed)
+    # table + zero NULL row (padding pairs index it; no mask pass needed);
+    # see rasterize_tiled for why attrs do NOT ride the sort as payload
     attr_ds = jnp.concatenate(
-        [ab.payload_ds, jnp.zeros((1, ATTR_W), jnp.float32)]
+        [attr[ab.depth_order], jnp.zeros((1, ATTR_W), jnp.float32)]
     )
     sp_attr = attr_ds[ab.pair_slot]
 
