@@ -5,7 +5,7 @@ sort + aligned tile sort), composite fwd, composite fwd+bwd, full render
 fwd+bwd. NOTE (round-2 lesson): through the axon tunnel, per-stage wall
 timings carry ~tens of ms of sync noise — treat them as indicative and use
 an XLA trace (jax.profiler + device-event aggregation) for op-level truth.
-Config mirrors bench.py defaults (32x32 tiles, chunk 128, tight budget).
+Config mirrors bench.py defaults (48x32 tiles, chunk 128, tight budget).
 """
 
 import math
@@ -37,7 +37,8 @@ H, W = 1080, 1920
 N = 262_144
 BACKEND = os.environ.get("GS_TPU_BENCH_BACKEND", "pallas")
 CHUNK = int(os.environ.get("GS_TPU_BENCH_CHUNK", "128"))
-TILE = int(os.environ.get("GS_TPU_BENCH_TILE_W", "32"))
+TILE_W = int(os.environ.get("GS_TPU_BENCH_TILE_W", "48"))
+TILE_H = int(os.environ.get("GS_TPU_BENCH_TILE_H", "32"))
 
 
 def timeit(fn, *args, iters=5, warmup=1):
@@ -65,10 +66,10 @@ def main():
         fovx=math.radians(70), fovy=math.radians(46), width=W, height=H,
     )
     target = jnp.zeros((3, H, W), jnp.float32)
-    cfg = RasterizeConfig(backend=BACKEND, chunk=CHUNK, tile_w=TILE,
-                          tile_h=TILE)
+    cfg = RasterizeConfig(backend=BACKEND, chunk=CHUNK, tile_w=TILE_W,
+                          tile_h=TILE_H)
 
-    tiles_x, tiles_y = -(-W // TILE), -(-H // TILE)
+    tiles_x, tiles_y = -(-W // TILE_W), -(-H // TILE_H)
     num_tiles = tiles_x * tiles_y
 
     # --- stage: projection ---------------------------------------------------
@@ -88,7 +89,7 @@ def main():
     # tight budget, like bench.py
     probe = binning.bin_gaussians_aligned(
         means2d, depths, projection.bin_radii(radii, opac), tiles_x, tiles_y,
-        TILE, TILE, 4 * N, CHUNK)
+        TILE_W, TILE_H, 4 * N, CHUNK)
     true_pairs = int(probe.num_pairs)
     pair_budget = -(-int(1.05 * true_pairs) // CHUNK) * CHUNK
     import dataclasses
@@ -101,14 +102,14 @@ def main():
         attr = pack_attributes(means2d, conics, colors, opac)
         return binning.bin_gaussians_aligned(
             means2d, depths, projection.bin_radii(radii, opac), tiles_x,
-            tiles_y, TILE, TILE, pair_budget, CHUNK, sort_payload=attr)
+            tiles_y, TILE_W, TILE_H, pair_budget, CHUNK, sort_payload=attr)
 
     t = timeit(stage_bin, means2d, conics, colors, opac, depths, radii)
     print(f"binning (payload):    {t*1e3:8.2f} ms")
     ab = jax.jit(stage_bin)(means2d, conics, colors, opac, depths, radii)
 
-    st = CompositeStatic(tiles_x=tiles_x, tiles_y=tiles_y, tile_w=TILE,
-                         tile_h=TILE, chunk=CHUNK, tile_batch=256,
+    st = CompositeStatic(tiles_x=tiles_x, tiles_y=tiles_y, tile_w=TILE_W,
+                         tile_h=TILE_H, chunk=CHUNK, tile_batch=256,
                          backend=resolve_backend(BACKEND))
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
 

@@ -84,6 +84,10 @@ class RasterizeConfig:
     matmul on the MXU.
     """
 
+    # 16x16 mirrors the reference and suits trained scenes (tiny splats:
+    # pairs/gaussian ~1-2 at any tile size, so bigger tiles only add pixel
+    # work). Big-splat scenes benefit from larger tiles — the 1080p bench's
+    # uniform cloud peaks at 48x32 (2.9x fewer pairs; see bench.py).
     tile_w: int = 16
     tile_h: int = 16
     chunk: int = 64  # splats per compositing chunk (best on v5e; see benchmarks)
