@@ -43,9 +43,9 @@ BASELINE_PIX_PER_S = 30 * 1920 * 1080  # reference: >=30fps @1080p fwd-only
 BACKEND = os.environ.get("GS_TPU_BENCH_BACKEND", "auto")
 # 48x32 tiles: ~2.9x fewer (tile,splat) pairs than 16x16 on this scene, and
 # every pair-proportional stage (sort/gather/backward-scatter) pays per pair
-# (r2 sweep: 21.9 Mpx/s vs 20.9 at 32x32, 18.8 at 64x32, 12.8 at 16x16;
-# chunk 128 > 64 > 256)
-CHUNK = int(os.environ.get("GS_TPU_BENCH_CHUNK", "128"))
+# (r2 sweep: 23.4 Mpx/s at chunk 64 vs 21.9 at 128, 21.3 at 32; 20.9 at
+# 32x32, 18.8 at 64x32, 12.8 at 16x16)
+CHUNK = int(os.environ.get("GS_TPU_BENCH_CHUNK", "64"))
 TILE_W = int(os.environ.get("GS_TPU_BENCH_TILE_W", "48"))
 TILE_H = int(os.environ.get("GS_TPU_BENCH_TILE_H", "32"))
 
