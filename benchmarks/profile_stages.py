@@ -5,7 +5,7 @@ sort + aligned tile sort), composite fwd, composite fwd+bwd, full render
 fwd+bwd. NOTE (round-2 lesson): through the axon tunnel, per-stage wall
 timings carry ~tens of ms of sync noise — treat them as indicative and use
 an XLA trace (jax.profiler + device-event aggregation) for op-level truth.
-Config mirrors bench.py defaults (48x32 tiles, chunk 128, tight budget).
+Config mirrors bench.py defaults (48x32 tiles, chunk 64, tight budget).
 """
 
 import math
@@ -36,7 +36,7 @@ from gs_tpu.utils import losses
 H, W = 1080, 1920
 N = 262_144
 BACKEND = os.environ.get("GS_TPU_BENCH_BACKEND", "pallas")
-CHUNK = int(os.environ.get("GS_TPU_BENCH_CHUNK", "128"))
+CHUNK = int(os.environ.get("GS_TPU_BENCH_CHUNK", "64"))
 TILE_W = int(os.environ.get("GS_TPU_BENCH_TILE_W", "48"))
 TILE_H = int(os.environ.get("GS_TPU_BENCH_TILE_H", "32"))
 

@@ -151,7 +151,16 @@ def make_sharded_rebalance(
         target = -(-total // n_shard)  # ceil
         excess = jnp.maximum(counts - target, 0)  # [n_shard]
         deficit = jnp.maximum(target - counts, 0)
-        sent = jnp.minimum(excess, k)  # rows each shard contributes
+        # Rows each shard COULD contribute this round vs rows receivers can
+        # absorb. A sender must never clear alive bits for rows nobody takes
+        # (that would silently destroy Gaussians), so prefix-allocate the
+        # total intake across senders in axis order and cap each sender's
+        # contribution at its allocated share.
+        avail = jnp.minimum(excess, k)
+        want = jnp.minimum(deficit, k)  # bounded intake per round
+        total_intake = jnp.sum(want)
+        cum_avail = jnp.cumsum(avail) - avail  # exclusive prefix
+        sent = jnp.clip(total_intake - cum_avail, 0, avail)
         me = jax.lax.axis_index(SHARD_AXIS)
         my_sent = sent[me]
 
@@ -187,8 +196,9 @@ def make_sharded_rebalance(
         ].set(pj, mode="drop")
 
         # --- my intake interval -------------------------------------------
-        # shards absorb the pool in axis order, capped by availability
-        want = jnp.minimum(deficit, k)  # bounded intake per round
+        # shards absorb the pool in axis order, capped by availability;
+        # pool_size <= total_intake by construction, so every pooled row is
+        # absorbed by some receiver (nothing is ever dropped).
         cum_want = jnp.cumsum(want) - want  # exclusive
         my_start = jnp.minimum(cum_want[me], pool_size)
         my_take = jnp.minimum(want[me], pool_size - my_start)
@@ -209,7 +219,7 @@ def make_sharded_rebalance(
         state3, adam3, stats3 = _apply_bundle(state2, adam, stats, incoming,
                                               recv)
         state3 = state3.replace(alive=alive2 | recv)
-        moved = jnp.sum(jnp.minimum(want, jnp.maximum(pool_size - cum_want, 0)))
+        moved = pool_size  # every pooled row is absorbed (see intake note)
         return state3, adam3, stats3, moved
 
     state_t = gmod.empty_state(capacity, max_sh_degree)

@@ -356,6 +356,41 @@ class TestShardRebalance:
             rtol=0, atol=0,
         )
 
+    def test_never_destroys_rows_when_senders_exceed_intake(self):
+        # Regression (round-2 advisor, high): 7 overfull shards each send
+        # min(excess, k) rows but the single underfull shard only absorbs
+        # min(deficit, k); the unabsorbed pool rows used to be silently
+        # destroyed (alive 56 -> 53 with budget 4). Total alive must be
+        # invariant under rebalance, always.
+        from gs_tpu.parallel.densify_sharded import (make_sharded_rebalance,
+                                                     shard_occupancy)
+
+        cap, n_shard = 64, 8
+        mesh = mesh_mod.make_mesh(data=1)
+        st = gaussians.empty_state(cap, 1)
+        alive = np.zeros(cap, bool)
+        alive[:56] = True  # shards 0-6 full (8 each), shard 7 empty
+        rng = np.random.default_rng(1)
+        xyz = rng.normal(size=(cap, 3)).astype(np.float32)
+        st = st.replace(xyz=jnp.asarray(xyz), alive=jnp.asarray(alive))
+        adam = optim.init(st.params())
+        stats = densify.DensifyStats.zeros(cap)
+        reb = make_sharded_rebalance(mesh, cap, 1, migration_budget=4)
+        s, a, t = st, adam, stats
+        for _ in range(3):
+            s, a, t, moved = reb(s, a, t)
+            assert int(jnp.sum(s.alive.astype(jnp.int32))) == 56
+        occ = np.asarray(shard_occupancy(s, n_shard))
+        assert occ.sum() == 56
+        assert occ.max() - occ.min() <= 1
+        # row contents survived the shuffle
+        got = np.asarray(s.xyz)[np.asarray(s.alive)]
+        want = xyz[alive]
+        np.testing.assert_allclose(
+            got[np.lexsort(got.T[::-1])], want[np.lexsort(want.T[::-1])],
+            rtol=0, atol=0,
+        )
+
     def test_balanced_input_is_noop(self):
         from gs_tpu.parallel.densify_sharded import (make_sharded_rebalance,
                                                      shard_occupancy)
