@@ -88,12 +88,12 @@ def main():
         )
         step = make(mesh, opt_cfg, rcfg, h, w, st.capacity, 1)
         out = step(st, adam, stats, cam_batch, jnp.zeros(3), jnp.int32(0),
-                   jnp.float32(1.0))
+                   jnp.float32(1.0), jnp.bool_(True))
         jax.block_until_ready(out)
         t0 = time.perf_counter()
         for _ in range(args.iters):
             out = step(st, adam, stats, cam_batch, jnp.zeros(3), jnp.int32(0),
-                       jnp.float32(1.0))
+                       jnp.float32(1.0), jnp.bool_(True))
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / args.iters
         results.append((n_shard, dt))

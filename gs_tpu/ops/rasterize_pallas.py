@@ -29,6 +29,7 @@ and the last-contributor index, nothing else.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +41,13 @@ from gs_tpu.ops.rasterize_oracle import ALPHA_MAX, ALPHA_SKIP, T_EPS
 _F32 = jnp.float32
 _HI = jax.lax.Precision.HIGHEST
 ATTR_W = 9
+
+# tile-grid kernels: chunks fetched per manual DMA superstep (bandwidth
+# amortization; compute stays gated at single-chunk granularity)
+DMA_SUBCHUNKS = int(os.environ.get("GS_TPU_PALLAS_DMA_CHUNKS", "4"))
+# "tile" = one grid step per tile w/ manual double-buffered DMA (default);
+# "chunk" = legacy one-grid-step-per-chunk kernels (A/B reference)
+KERNEL_MODE = os.environ.get("GS_TPU_PALLAS_KERNEL", "tile")
 
 
 def _interpret() -> bool:
@@ -173,6 +181,343 @@ def _visit_tables(starts, ends, chunk, cap_chunks, reverse, dead_blk=None):
 
 
 # ----------------------------------------------------------------------------
+# tile-grid kernels: one grid step per tile, manual double-buffered DMA
+# ----------------------------------------------------------------------------
+#
+# The chunk-grid kernels below pay a fixed per-grid-step cost (~1 µs: block
+# index maps, pipeline bookkeeping, [S,9]-sized DMAs) on EVERY chunk — at
+# ~10-40k chunks per frame that overhead rivals the actual VPU compute. The
+# tile-grid formulation makes the grid one step per TILE: the kernel streams
+# the tile's pair rows itself (double-buffered `make_async_copy` supersteps
+# of DMA_SUBCHUNKS chunks — bandwidth-amortized loads, compute still gated
+# per chunk), keeps the accumulators resident in the tile's output block,
+# and early-exits the whole remaining range once every pixel's transmittance
+# died. Binning stays chunk-aligned (no alignment padding growth), and no
+# step->(row, block) visit tables are needed at all.
+
+
+def _fwd_tile_kernel(starts_ref, ends_ref, tid_ref, attr_hbm,
+                     color_ref, t_ref, ncon_ref,
+                     abuf, died_ref, sem, *, st, kc):
+    j = pl.program_id(0)
+    s = st.chunk
+    p = st.tile_w * st.tile_h
+    sup = kc * s
+    start = starts_ref[j]
+    end = ends_ref[j]
+    nsup = jax.lax.div(end - start + sup - 1, sup)
+
+    color_ref[:] = jnp.zeros_like(color_ref)
+    t_ref[:] = jnp.ones_like(t_ref)
+    ncon_ref[:] = jnp.zeros_like(ncon_ref)
+    died_ref[:] = jnp.zeros_like(died_ref)
+
+    px, py = _pixel_coords(tid_ref[j], st.tiles_x, st.tile_w, st.tile_h, p)
+
+    def dma(i):
+        slot = jax.lax.rem(i, 2)
+        return pltpu.make_async_copy(
+            attr_hbm.at[pl.ds(start + i * sup, sup), :],
+            abuf.at[slot], sem.at[slot],
+        )
+
+    @pl.when(nsup > 0)
+    def _():
+        dma(jnp.int32(0)).start()
+
+        def cond(c):
+            i, alive = c
+            return (i < nsup) & alive
+
+        def body(c):
+            i, _ = c
+
+            @pl.when(i + 1 < nsup)
+            def _():
+                dma(i + 1).start()
+
+            dma(i).wait()
+            slot = jax.lax.rem(i, 2)
+            for ci in range(kc):
+                sub = start + i * sup + ci * s
+
+                @pl.when((sub < end) & (jnp.min(died_ref[:]) < 0.5))
+                def _(ci=ci, sub=sub, slot=slot):
+                    attr = abuf[slot, ci * s:(ci + 1) * s, :]
+                    alpha, power, _, _ = _chunk_alpha(attr, px, py)
+                    incl = (alpha >= ALPHA_SKIP) & (power <= 0.0)
+                    omb = jnp.where(incl, 1.0 - alpha, 1.0)
+                    t_before = t_ref[0] * _shift_down(_cumprod_incl(omb), 1, 1.0)
+                    stop = incl & (t_before * (1.0 - alpha) < T_EPS)
+                    stop_f = stop.astype(_F32)
+                    died_before = died_ref[:] + _cumsum_excl(stop_f)
+                    contrib = incl & (died_before < 0.5) & ~stop
+                    w = jnp.where(contrib, alpha * t_before, 0.0)
+                    color_ref[0] += jax.lax.dot_general(
+                        attr[:, 5:8], w, (((0,), (0,)), ((), ())),
+                        precision=_HI, preferred_element_type=_F32,
+                    )
+                    t_ref[0] *= _cumprod_incl(
+                        jnp.where(contrib, omb, 1.0))[s - 1:s]
+                    pos = sub + jax.lax.broadcasted_iota(jnp.int32, (s, p), 0)
+                    ncon_ref[0] = jnp.maximum(
+                        ncon_ref[0],
+                        jnp.max(jnp.where(contrib, pos + 1, 0), axis=0,
+                                keepdims=True),
+                    )
+                    died_ref[:] = jnp.maximum(
+                        died_ref[:], jnp.max(stop_f, axis=0, keepdims=True))
+
+            return i + 1, jnp.min(died_ref[:]) < 0.5
+
+        i_f, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), True))
+
+        # early exit leaves the prefetched superstep's DMA in flight
+        @pl.when(i_f < nsup)
+        def _():
+            dma(i_f).wait()
+
+
+def _composite_fwd_pallas_tile(st, sp_attr, tile_ids, starts, ends):
+    s = st.chunk
+    kc = DMA_SUBCHUNKS
+    sup = kc * s
+    p = st.tile_w * st.tile_h
+    b = sp_attr.shape[0]
+    assert b % s == 0, "pair buffer must be chunk-aligned"
+    m = tile_ids.shape[0]
+    # the last superstep's DMA may read up to sup-1 rows past a tile's
+    # range end; pad so it never leaves the buffer (rows are compute-gated)
+    attr_pad = jnp.concatenate([sp_attr, jnp.zeros((sup, ATTR_W), _F32)])
+
+    kernel = functools.partial(_fwd_tile_kernel, st=st, kc=kc)
+    out_row = lambda j, st_, en_, ti_: (j, 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # starts, ends, tile_ids
+        grid=(m,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, 3, p), out_row),
+            pl.BlockSpec((1, 1, p), out_row),
+            pl.BlockSpec((1, 1, p), out_row),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, sup, ATTR_W), _F32),  # double-buffered pair rows
+            pltpu.VMEM((1, p), _F32),  # died mask
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    color, t_final, ncon = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((m, 3, p), _F32),
+            jax.ShapeDtypeStruct((m, 1, p), _F32),
+            jax.ShapeDtypeStruct((m, 1, p), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(starts, ends, tile_ids, attr_pad)
+    return color.transpose(0, 2, 1), t_final[:, 0], ncon[:, 0]
+
+
+def _bwd_tile_kernel(starts_ref, ends_ref, tid_ref, attr_hbm,
+                     gc_ref, gt_ref, tfin_ref, ncon_ref, dattr_hbm,
+                     abuf, obuf, trun_ref, ssuf_ref, lsem, ssem, *, st, kc):
+    """Reverse tile walk; math identical to _bwd_kernel / _backward_chunk.
+
+    Stores: each superstep's [sup, ATTR_W] gradient block DMAs back to its
+    own rows. A tile's topmost (partial) superstep may write zero rows a few
+    chunks past its range — those rows belong to LATER tiles (contiguous
+    layout, ascending grid order) which rewrite them, or to dead space the
+    caller masks; all stores are drained before the grid step ends, so
+    cross-step DMA ordering never races.
+    """
+    j = pl.program_id(0)
+    s = st.chunk
+    p = st.tile_w * st.tile_h
+    sup = kc * s
+    start = starts_ref[j]
+    end = ends_ref[j]  # ncon-trimmed, multiple of s
+    nsup = jax.lax.div(end - start + sup - 1, sup)
+
+    trun_ref[:] = tfin_ref[0]
+    ssuf_ref[:] = jnp.zeros_like(ssuf_ref)
+    px, py = _pixel_coords(tid_ref[j], st.tiles_x, st.tile_w, st.tile_h, p)
+
+    def ldma(i):
+        slot = jax.lax.rem(i, 2)
+        return pltpu.make_async_copy(
+            attr_hbm.at[pl.ds(start + i * sup, sup), :],
+            abuf.at[slot], lsem.at[slot],
+        )
+
+    def sdma(i):
+        slot = jax.lax.rem(i, 2)
+        return pltpu.make_async_copy(
+            obuf.at[slot],
+            dattr_hbm.at[pl.ds(start + i * sup, sup), :],
+            ssem.at[slot],
+        )
+
+    @pl.when(nsup > 0)
+    def _():
+        ldma(nsup - 1).start()
+
+        def body(k, _):
+            i = nsup - 1 - k  # reverse superstep order
+
+            @pl.when(i - 1 >= 0)
+            def _():
+                ldma(i - 1).start()
+
+            ldma(i).wait()
+            slot = jax.lax.rem(i, 2)
+
+            # this obuf slot's previous store (2 supersteps ago) must land
+            # before we overwrite the buffer
+            @pl.when(k >= 2)
+            def _():
+                sdma(i + 2).wait()
+
+            obuf[slot] = jnp.zeros_like(obuf[slot])
+            for ci in reversed(range(kc)):
+                sub = start + i * sup + ci * s
+
+                @pl.when(sub < end)
+                def _(ci=ci, sub=sub, slot=slot):
+                    attr = abuf[slot, ci * s:(ci + 1) * s, :]
+                    alpha, power, dx, dy = _chunk_alpha(attr, px, py)
+                    pos = sub + jax.lax.broadcasted_iota(jnp.int32, (s, p), 0)
+                    incl = (alpha >= ALPHA_SKIP) & (power <= 0.0)
+                    contrib = incl & (pos < ncon_ref[0])
+                    omb = jnp.where(contrib, 1.0 - alpha, 1.0)
+
+                    omb_sufprod = _suffix_prod_incl(omb)
+                    t_before = trun_ref[:] / omb_sufprod
+                    w = jnp.where(contrib, alpha * t_before, 0.0)
+
+                    gc = gc_ref[0]  # [3,P]
+                    bdot = jax.lax.dot_general(
+                        attr[:, 5:8], gc, (((1,), (0,)), ((), ())),
+                        precision=_HI, preferred_element_type=_F32,
+                    )
+                    wb = jnp.where(contrib, w * bdot, 0.0)
+                    s_after = ssuf_ref[:] + _suffix_sum_strict(wb)
+                    d_alpha = jnp.where(
+                        contrib,
+                        t_before * bdot - (s_after + gt_ref[0]) / omb,
+                        0.0,
+                    )
+
+                    g_exp = jnp.exp(power)
+                    d_opac = jnp.sum(
+                        jnp.where(contrib, g_exp * d_alpha, 0.0), axis=1,
+                        keepdims=True)
+                    d_power = jnp.where(
+                        contrib, attr[:, 8:9] * g_exp * d_alpha, 0.0)
+                    sum1 = lambda x: jnp.sum(x, axis=1, keepdims=True)
+                    d_rgb = jax.lax.dot_general(
+                        w, gc, (((1,), (1,)), ((), ())), precision=_HI,
+                        preferred_element_type=_F32,
+                    )
+                    obuf[slot, ci * s:(ci + 1) * s, :] = jnp.concatenate(
+                        [
+                            sum1(-(attr[:, 2:3] * dx + attr[:, 3:4] * dy)
+                                 * d_power),
+                            sum1(-(attr[:, 4:5] * dy + attr[:, 3:4] * dx)
+                                 * d_power),
+                            sum1(-0.5 * dx * dx * d_power),
+                            sum1(-dx * dy * d_power),
+                            sum1(-0.5 * dy * dy * d_power),
+                            d_rgb,
+                            d_opac,
+                        ] + ([jnp.zeros((s, ATTR_W - 9), _F32)]
+                             if ATTR_W > 9 else []),
+                        axis=1,
+                    )
+
+                    trun_ref[:] = trun_ref[:] / omb_sufprod[0:1]
+                    ssuf_ref[:] = ssuf_ref[:] + jnp.sum(wb, axis=0,
+                                                        keepdims=True)
+
+            sdma(i).start()
+            return 0
+
+        jax.lax.fori_loop(0, nsup, body, 0)
+
+        # drain the (up to two) outstanding stores before the step ends
+        @pl.when(nsup >= 2)
+        def _():
+            sdma(jnp.int32(1)).wait()
+
+        sdma(jnp.int32(0)).wait()
+
+
+def _composite_bwd_pallas_tile(st, residuals, cotangents):
+    (sp_attr, tile_ids, starts, ends, t_final, ncon_all) = residuals
+    g_color_all, g_t_all, _ = cotangents
+
+    s = st.chunk
+    kc = DMA_SUBCHUNKS
+    sup = kc * s
+    p = st.tile_w * st.tile_h
+    b = sp_attr.shape[0]
+    assert b % s == 0
+    m = tile_ids.shape[0]
+
+    attr_pad = jnp.concatenate([sp_attr, jnp.zeros((sup, ATTR_W), _F32)])
+    gc = jnp.asarray(g_color_all).transpose(0, 2, 1)  # [M,3,P]
+    gt = (jnp.asarray(g_t_all) * t_final)[:, None, :]  # tfin_term
+    tf = t_final[:, None, :]
+    nc = ncon_all[:, None, :]
+
+    kernel = functools.partial(_bwd_tile_kernel, st=st, kc=kc)
+    tile_row = lambda j, st_, en_, ti_: (j, 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(m,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 3, p), tile_row),
+            pl.BlockSpec((1, 1, p), tile_row),
+            pl.BlockSpec((1, 1, p), tile_row),
+            pl.BlockSpec((1, 1, p), tile_row),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((2, sup, ATTR_W), _F32),  # load double buffer
+            pltpu.VMEM((2, sup, ATTR_W), _F32),  # store double buffer
+            pltpu.VMEM((1, p), _F32),  # running tail transmittance
+            pltpu.VMEM((1, p), _F32),  # suffix sum of w*b
+            pltpu.SemaphoreType.DMA((2,)),  # load sems
+            pltpu.SemaphoreType.DMA((2,)),  # store sems
+        ],
+    )
+    d_attr = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((b + sup, ATTR_W), _F32)],
+        interpret=_interpret(),
+    )(starts, ends, tile_ids, attr_pad, gc, gt, tf, nc)[0]
+
+    # rows past each tile's trimmed end (skipped supersteps) and rows owned
+    # by no listed tile are never stored -> uninitialized; mask them off
+    from gs_tpu.ops.binning import vec_cummax
+
+    nchunks = b // s
+    nonempty = ends > starts
+    buf = jnp.full((nchunks + 1,), -1.0, jnp.float32).at[
+        jnp.where(nonempty, starts // s, nchunks)
+    ].max(jnp.arange(m, dtype=jnp.float32), mode="drop")
+    owner = vec_cummax(buf[:nchunks]).astype(jnp.int32)
+    owner_c = jnp.clip(owner, 0, max(m - 1, 0))
+    chunk_pos = jnp.arange(nchunks, dtype=jnp.int32) * s
+    covered = (owner >= 0) & nonempty[owner_c] & (chunk_pos < ends[owner_c])
+    rmask = jnp.repeat(covered, s)[:, None]
+    return (jnp.where(rmask, d_attr[:b], 0.0), None, None, None)
+
+
+# ----------------------------------------------------------------------------
 # forward kernel
 # ----------------------------------------------------------------------------
 
@@ -226,6 +571,8 @@ def _fwd_kernel(row_ref, blk_ref, tid_ref, attr_ref,
 
 def composite_fwd_pallas(st, sp_attr, tile_ids, starts, ends):
     """Pallas forward. Returns (color [M,P,3], t_final [M,P], ncon [M,P])."""
+    if KERNEL_MODE == "tile":
+        return _composite_fwd_pallas_tile(st, sp_attr, tile_ids, starts, ends)
     s = st.chunk
     p = st.tile_w * st.tile_h
     b = sp_attr.shape[0]
@@ -360,6 +707,8 @@ def _bwd_kernel(row_ref, blk_ref, tid_ref, attr_ref,
 
 
 def composite_bwd_pallas(st, residuals, cotangents):
+    if KERNEL_MODE == "tile":
+        return _composite_bwd_pallas_tile(st, residuals, cotangents)
     (sp_attr, tile_ids, starts, ends, t_final, ncon_all) = residuals
     g_color_all, g_t_all, _ = cotangents
 

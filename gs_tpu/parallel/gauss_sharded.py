@@ -167,7 +167,7 @@ def make_gauss_sharded_train_step(
     )
 
     def _local_step(state, adam, stats, cam_batch, bg, iteration,
-                    spatial_lr_scale):
+                    spatial_lr_scale, apply_update):
         cam = jax.tree.map(
             lambda x: x[0] if hasattr(x, "ndim") and x.ndim > 0 else x, cam_batch
         )
@@ -209,8 +209,17 @@ def make_gauss_sharded_train_step(
             lr_delay_mult=opt_cfg.position_lr_delay_mult,
             max_steps=opt_cfg.position_lr_max_steps,
         ) * spatial_lr_scale
-        new_params, new_adam = optim.update(
+        upd_params, upd_adam = optim.update(
             params, g_params, adam, optim.group_lrs(opt_cfg, xyz_lr)
+        )
+        # final-iteration parity (train.py:139-141): traced gate on the
+        # optimizer update, matching the single-device step's apply_update
+        sel = lambda new, old: jax.tree.map(
+            lambda a, b: jnp.where(apply_update, a, b), new, old)
+        new_params = sel(upd_params, params)
+        new_adam = optim.AdamState(
+            mu=sel(upd_adam.mu, adam.mu), nu=sel(upd_adam.nu, adam.nu),
+            step=sel(upd_adam.step, adam.step),
         )
 
         vis = radii > 0
@@ -251,7 +260,7 @@ def make_gauss_sharded_train_step(
         shard_specs(state_t, capacity),
         shard_specs(adam_t, capacity),
         shard_specs(stats_t, capacity),
-        P(DATA_AXIS), P(), P(), P(),
+        P(DATA_AXIS), P(), P(), P(), P(),
     )
     out_specs = (
         shard_specs(state_t, capacity),

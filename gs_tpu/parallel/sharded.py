@@ -67,6 +67,16 @@ def local_to_global_tiles(st, n_shard, me):
     return ty * st.tiles_x + jnp.minimum(gx, st.tiles_x - 1), valid
 
 
+def local_pair_budget(pair_budget: int, n_shard: int, chunk: int) -> int:
+    """Per-device strip pair budget (the exact value composite_strip uses).
+
+    Exposed so overflow watchers compare ``num_pairs_max`` against the real
+    threshold — a recomputed approximation can sit up to ~chunk lower and
+    trigger spurious budget growth + recompiles.
+    """
+    return max(-(-(pair_budget // n_shard) // chunk) * chunk, chunk)
+
+
 def composite_strip(st, means2d, depths, bin_radii_v, attr, n_shard, me,
                     pair_budget, truncate):
     """Bin + gather + composite ONE device's tile-column strip.
@@ -76,8 +86,7 @@ def composite_strip(st, means2d, depths, bin_radii_v, attr, n_shard, me,
     pre-composite cost by the shard count. Returns
     (tile_color [T_local,P,3] with bg NOT applied, tile_t, local num_pairs).
     """
-    local_budget = max(-(-(pair_budget // n_shard) // st.chunk) * st.chunk,
-                       st.chunk)
+    local_budget = local_pair_budget(pair_budget, n_shard, st.chunk)
     ab = binning.bin_gaussians_aligned(
         means2d, depths, bin_radii_v,
         st.tiles_x, st.tiles_y, st.tile_w, st.tile_h, local_budget, st.chunk,
@@ -185,7 +194,8 @@ def make_sharded_train_step(
         backend=resolve_backend(raster_cfg.backend),
     )
 
-    def _local_step(state, adam, stats, cam_batch, bg, iteration, spatial_lr_scale):
+    def _local_step(state, adam, stats, cam_batch, bg, iteration,
+                    spatial_lr_scale, apply_update):
         # my camera: this device's slice of the data axis has batch 1
         cam = jax.tree.map(
             lambda x: x[0] if hasattr(x, "ndim") and x.ndim > 0 else x, cam_batch
@@ -228,8 +238,18 @@ def make_sharded_train_step(
             lr_delay_mult=opt_cfg.position_lr_delay_mult,
             max_steps=opt_cfg.position_lr_max_steps,
         ) * spatial_lr_scale
-        new_params, new_adam = optim.update(
+        upd_params, upd_adam = optim.update(
             params, g_params, adam, optim.group_lrs(opt_cfg, xyz_lr)
+        )
+        # final-iteration parity: the reference gates optimizer.step() on
+        # iteration < opt.iterations (train.py:139-141); apply_update is a
+        # traced bool so the last step selects the un-updated state
+        sel = lambda new, old: jax.tree.map(
+            lambda a, b: jnp.where(apply_update, a, b), new, old)
+        new_params = sel(upd_params, params)
+        new_adam = optim.AdamState(
+            mu=sel(upd_adam.mu, adam.mu), nu=sel(upd_adam.nu, adam.nu),
+            step=sel(upd_adam.step, adam.step),
         )
 
         # densify stats: sum each camera's contribution over the data axis so
@@ -262,7 +282,7 @@ def make_sharded_train_step(
     smapped = jax.shard_map(
         _local_step,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(DATA_AXIS), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(DATA_AXIS), P(), P(), P(), P()),
         out_specs=(P(), P(), P(), {"loss": P(), "num_pairs_max": P()}),
         check_vma=False,
     )

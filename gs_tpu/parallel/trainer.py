@@ -39,26 +39,16 @@ import numpy as np
 from gs_tpu import cameras as cam_mod
 from gs_tpu.config import (OptimizationParams, ParallelConfig, PipelineParams,
                            RasterizeConfig)
+from gs_tpu.data import multihost
 from gs_tpu.models import densify, gaussians, optim
 from gs_tpu.parallel import mesh as mesh_mod
 from gs_tpu.parallel.densify_sharded import (make_sharded_densify,
-                                             make_sharded_rebalance,
+                                             make_sharded_rebalance_loop,
                                              shard_occupancy)
 from gs_tpu.parallel.gauss_sharded import (make_gauss_sharded_train_step,
                                            shard_specs)
-from gs_tpu.parallel.sharded import make_sharded_train_step
+from gs_tpu.parallel.sharded import local_pair_budget, make_sharded_train_step
 from gs_tpu.utils import profiling
-
-
-def _group_by_resolution(cams):
-    groups: dict[tuple[int, int], list] = {}
-    for c in cams:
-        if c.image is None:
-            # not owned by this host (gs_tpu.data.multihost pipeline):
-            # params-only camera, another process feeds its batch slots
-            continue
-        groups.setdefault((c.width, c.height), []).append(c)
-    return groups
 
 
 class _StepCache:
@@ -97,12 +87,26 @@ def run_training_parallel(
     test_iterations: tuple[int, ...] = (7000, 30000),
     save_iterations: tuple[int, ...] = (7000, 30000),
     checkpoint_iterations: tuple[int, ...] = (),
+    start_checkpoint: str | None = None,
     log_every: int = 10,
     progress=None,
     seed: int = 0,
+    gui_server=None,
+    profile_dir: str | None = None,
+    profile_iters: tuple[int, int] = (50, 60),
+    debug_from: int = -1,
 ):
-    """The reference training loop over a (data, shard) mesh."""
-    from gs_tpu.training import (evaluate_and_report, GROW_FACTOR,
+    """The reference training loop over a (data, shard) mesh.
+
+    Feature parity with the single-device ``run_training``: checkpoint
+    resume (``start_checkpoint``; gauss layout re-shards the restored
+    leaves), SIBR viewer polling (``gui_server``), ``profile_dir`` tracing,
+    and the ``pipe.debug`` non-finite-loss input dump
+    (``/root/reference/train.py:39-41,60-74,91-92``).
+    """
+    import dataclasses
+
+    from gs_tpu.training import (debug_dump, evaluate_and_report, GROW_FACTOR,
                                  GROW_WATERMARK, TrainState)
     from gs_tpu.utils import ckpt as ckpt_mod
     from gs_tpu.utils import metrics as metrics_mod
@@ -132,6 +136,19 @@ def run_training_parallel(
         spatial_lr_scale=scene.cameras_extent,
         max_sh_degree=max_sh_degree,
     )
+    first_iter = 0
+    if start_checkpoint:
+        ts = ckpt_mod.load_train_state(start_checkpoint)
+        if ts.state.capacity % n_shard:
+            new_cap = -(-ts.state.capacity // cap_quantum) * cap_quantum
+            ts.state = gaussians.grow_capacity(ts.state, new_cap)
+            ts.adam = optim.grow(ts.adam, new_cap)
+            pad = new_cap - ts.stats.xyz_grad_accum.shape[0]
+            ts.stats = densify.DensifyStats(
+                *(jnp.concatenate([s, jnp.zeros((pad,), s.dtype)])
+                  for s in ts.stats))
+        first_iter = ts.iteration
+        print(f"Restored checkpoint at iteration {first_iter}")
     if gauss_layout:
         _place_sharded(ts, mesh)
 
@@ -141,33 +158,40 @@ def run_training_parallel(
         [1.0, 1.0, 1.0] if white_background else [0.0, 0.0, 0.0], jnp.float32
     )
 
-    groups = _group_by_resolution(scene.get_train_cameras())
-    group_keys = list(groups.keys())
-    viewpoint_stack: list = []
+    # deterministic multi-host batching over the GLOBAL camera list: every
+    # process draws identical batches (shared RNG); slot i only ever takes a
+    # camera owned by the process feeding data-row i, so assemble_global_batch
+    # always finds the pixels it needs locally
+    feeders = multihost.data_row_feeders(mesh)
+    _, process_count = multihost.process_info()
+    sampler = multihost.BatchSampler(scene.get_train_cameras(), feeders,
+                                     process_count)
     key = jax.random.PRNGKey(seed)
     ema_loss = None
     timer = profiling.StepTimer()
 
-    for iteration in range(1, opt_cfg.iterations + 1):
+    if gui_server is not None:
+        gui_server.convert_SHs_python = pipe.convert_SHs_python
+        gui_server.compute_cov3D_python = pipe.compute_cov3D_python
+
+    for iteration in range(first_iter + 1, opt_cfg.iterations + 1):
         ts.iteration = iteration
+        if gui_server is not None:
+            gui_server.poll(ts, raster_cfg, iterations=opt_cfg.iterations)
+            pipe = dataclasses.replace(
+                pipe,
+                convert_SHs_python=gui_server.convert_SHs_python,
+                compute_cov3D_python=gui_server.compute_cov3D_python,
+            )
+        if debug_from >= 0 and iteration == debug_from and not pipe.debug:
+            pipe = dataclasses.replace(pipe, debug=True)
+        if profile_dir is not None and iteration == profile_iters[0]:
+            jax.profiler.start_trace(profile_dir)
         timer.start()
 
-        # camera batch: n_data same-resolution cameras (cycled when the
-        # group is smaller than the data axis)
-        if not viewpoint_stack:
-            gk = group_keys[random.randint(0, len(group_keys) - 1)]
-            viewpoint_stack = list(groups[gk])
-            random.shuffle(viewpoint_stack)
-        batch = []
-        res = (viewpoint_stack[-1].width, viewpoint_stack[-1].height)
-        for _ in range(n_data):
-            if not viewpoint_stack or (
-                viewpoint_stack[-1].width, viewpoint_stack[-1].height) != res:
-                viewpoint_stack = [c for c in groups[res]]
-                random.shuffle(viewpoint_stack)
-            batch.append(viewpoint_stack.pop())
-        cam_batch = cam_mod.stack_cameras(batch)
-        w, h = res
+        batch = sampler.next_batch()
+        cam_batch = multihost.assemble_global_batch(mesh, batch)
+        w, h = batch[0].width, batch[0].height
 
         if opt_cfg.random_background:
             key, sub = jax.random.split(key)
@@ -180,17 +204,27 @@ def run_training_parallel(
         ts.state, ts.adam, new_stats, m = step(
             ts.state, ts.adam, ts.stats, cam_batch, bg,
             jnp.int32(iteration - 1), jnp.float32(ts.spatial_lr_scale),
+            jnp.bool_(iteration < opt_cfg.iterations),
         )
         metrics = m if isinstance(m, dict) else {"loss": m}
         if in_densify_phase:
             ts.stats = new_stats
 
+        # sync points include every densify boundary: overflow metrics must
+        # be inspected before acting on a possibly-truncated densify round,
+        # not only at log cadence
+        at_densify = (in_densify_phase
+                      and iteration % opt_cfg.densification_interval == 0)
         sync = (iteration % log_every == 0 or iteration == opt_cfg.iterations
-                or iteration in test_iterations)
+                or iteration in test_iterations or at_densify)
         if sync:
-            import dataclasses
-
             loss = float(metrics["loss"])
+            if pipe.debug and not np.isfinite(loss):
+                out = debug_dump(scene.model_path or ".", ts, batch[0], loss)
+                raise RuntimeError(
+                    f"[iter {iteration}] non-finite loss {loss}; rasterizer "
+                    f"inputs dumped to {out} (pipe.debug snapshot)"
+                )
             if "num_visible_max" in metrics and parallel.visible_budget:
                 if int(metrics["num_visible_max"]) > parallel.visible_budget:
                     print(
@@ -200,12 +234,12 @@ def run_training_parallel(
                         f"ParallelConfig.visible_budget"
                     )
             if "num_pairs_max" in metrics:
-                # per-device strip budget (composite_strip): grow + recompile
-                # on overflow, like the single-device trainer's pair budget
-                budget = max(
-                    int(raster_cfg.pair_budget_factor * ts.state.capacity),
-                    raster_cfg.min_pair_budget,
-                ) // n_shard
+                # per-device strip budget: the EXACT value composite_strip
+                # uses (a lower approximation triggers spurious recompiles)
+                budget = local_pair_budget(
+                    max(int(raster_cfg.pair_budget_factor * ts.state.capacity),
+                        raster_cfg.min_pair_budget),
+                    n_shard, raster_cfg.chunk)
                 if int(metrics["num_pairs_max"]) > budget:
                     raster_cfg = dataclasses.replace(
                         raster_cfg,
@@ -219,6 +253,9 @@ def run_training_parallel(
                     )
             ema_loss = loss if ema_loss is None else 0.4 * loss + 0.6 * ema_loss
         timer.stop(synced=sync)
+        if profile_dir is not None and iteration == profile_iters[1]:
+            jax.profiler.stop_trace()
+            print(f"[iter {iteration}] wrote profiler trace to {profile_dir}")
         if progress is not None and iteration % log_every == 0:
             progress(iteration, {
                 "ema_loss": ema_loss, "step_s": timer.ema_s,
@@ -318,7 +355,14 @@ def _maybe_grow_parallel(ts, mesh, gauss_layout, cap_quantum, watermark,
 
 
 def _maybe_rebalance(ts, mesh, parallel, max_sh_degree, cache):
-    """Occupancy-skew-triggered migration rounds after a densify."""
+    """Occupancy-skew-triggered migration after a densify.
+
+    One cheap host-side occupancy check gates ONE jitted multi-round
+    rebalance call (``make_sharded_rebalance_loop``): the round loop and its
+    skew-based early exit run on-device, so a full rebalance costs one
+    dispatch instead of up to 8 host-paced occupancy syncs (~38 ms each
+    through a development tunnel).
+    """
     n_shard = mesh.shape[mesh_mod.SHARD_AXIS]
     if n_shard == 1:
         return
@@ -328,15 +372,10 @@ def _maybe_rebalance(ts, mesh, parallel, max_sh_degree, cache):
         return
     rkey = ("rebalance", ts.state.capacity)
     if rkey not in cache:
-        cache[rkey] = make_sharded_rebalance(
+        cache[rkey] = make_sharded_rebalance_loop(
             mesh, ts.state.capacity, max_sh_degree,
-            migration_budget=parallel.migration_budget,
+            migration_budget=parallel.migration_budget, max_rounds=8,
         )
-    # bounded rounds: each moves <= migration_budget rows per shard
-    for _ in range(8):
-        ts.state, ts.adam, ts.stats, moved = cache[rkey](
-            ts.state, ts.adam, ts.stats
-        )
-        occ = np.asarray(shard_occupancy(ts.state, n_shard))
-        if int(moved) == 0 or occ.max() / max(occ.mean(), 1.0) <= parallel.rebalance_skew:
-            break
+    ts.state, ts.adam, ts.stats, _moved = cache[rkey](
+        ts.state, ts.adam, ts.stats, jnp.float32(parallel.rebalance_skew)
+    )

@@ -244,8 +244,11 @@ def run_training(
             scene, opt_cfg, pipe, parallel, raster_cfg=raster_cfg,
             white_background=white_background, test_iterations=test_iterations,
             save_iterations=save_iterations,
-            checkpoint_iterations=checkpoint_iterations, log_every=log_every,
-            progress=progress, seed=seed,
+            checkpoint_iterations=checkpoint_iterations,
+            start_checkpoint=start_checkpoint, log_every=log_every,
+            progress=progress, seed=seed, gui_server=gui_server,
+            profile_dir=profile_dir, profile_iters=profile_iters,
+            debug_from=debug_from,
         )
 
     if raster_cfg is None:

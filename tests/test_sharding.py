@@ -60,7 +60,8 @@ class TestShardedTrainStep:
         cam_batch = cameras.stack_cameras([cam])
 
         s_state, s_adam, s_stats, sm = step(
-            st, adam, stats, cam_batch, jnp.zeros(3), jnp.int32(0), jnp.float32(1.0)
+            st, adam, stats, cam_batch, jnp.zeros(3), jnp.int32(0), jnp.float32(1.0),
+            jnp.bool_(True),
         )
         s_loss = sm["loss"]
         assert int(sm["num_pairs_max"]) > 0
@@ -96,7 +97,8 @@ class TestGaussianSharded:
         cam_batch = cameras.stack_cameras([cam])
 
         s_state, s_adam, s_stats, s_m = step(
-            st, adam, stats, cam_batch, jnp.zeros(3), jnp.int32(0), jnp.float32(1.0)
+            st, adam, stats, cam_batch, jnp.zeros(3), jnp.int32(0), jnp.float32(1.0),
+            jnp.bool_(True),
         )
         s_loss = s_m["loss"]
         r_state, r_adam, r_stats, m = train_step(
@@ -135,7 +137,7 @@ class TestGaussianSharded:
         stats = densify.DensifyStats.zeros(st.capacity)
         s_state, _, _, s_m = step(
             st, adam, stats, cameras.stack_cameras([cam]), jnp.zeros(3),
-            jnp.int32(0), jnp.float32(1.0)
+            jnp.int32(0), jnp.float32(1.0), jnp.bool_(True),
         )
         s_loss = s_m["loss"]
         _, _, _, m = train_step(
@@ -158,7 +160,7 @@ class TestGaussianSharded:
         stats = densify.DensifyStats.zeros(st.capacity)
         s_state, _, _, s_m = step(
             st, adam, stats, cameras.stack_cameras([cam]), jnp.zeros(3),
-            jnp.int32(0), jnp.float32(1.0)
+            jnp.int32(0), jnp.float32(1.0), jnp.bool_(True),
         )
         assert np.isfinite(float(s_m["loss"]))
         # budget 2 is deliberately too small: overflow must be REPORTED
@@ -201,7 +203,8 @@ class TestGaussianSharded:
         stats = densify.DensifyStats.zeros(st.capacity)
         batch = cameras.stack_cameras([cam0, cam1])
         s_state, _, s_stats, sm = step(
-            st, adam, stats, batch, jnp.zeros(3), jnp.int32(0), jnp.float32(1.0)
+            st, adam, stats, batch, jnp.zeros(3), jnp.int32(0), jnp.float32(1.0),
+            jnp.bool_(True),
         )
         assert np.isfinite(float(sm["loss"]))
         assert float(jnp.abs(s_state.xyz - st.xyz).max()) > 0
@@ -404,3 +407,154 @@ class TestShardRebalance:
         s, a, t, moved = reb(st, adam, stats)
         assert int(moved) == 0
         np.testing.assert_array_equal(np.asarray(s.xyz), np.asarray(st.xyz))
+
+
+class TestRebalanceLoop:
+    def test_one_call_matches_iterated_rounds(self):
+        from gs_tpu.parallel.densify_sharded import (
+            make_sharded_rebalance, make_sharded_rebalance_loop,
+            shard_occupancy)
+
+        cap, n_shard = 64, 8
+        mesh = mesh_mod.make_mesh(data=1)
+        st = gaussians.empty_state(cap, 1)
+        alive = np.zeros(cap, bool)
+        alive[:16] = True  # shards 0-1 full, rest empty
+        rng = np.random.default_rng(2)
+        xyz = rng.normal(size=(cap, 3)).astype(np.float32)
+        st = st.replace(xyz=jnp.asarray(xyz), alive=jnp.asarray(alive))
+        adam = optim.init(st.params())
+        stats = densify.DensifyStats.zeros(cap)
+
+        loop = make_sharded_rebalance_loop(mesh, cap, 1, migration_budget=4,
+                                           max_rounds=8)
+        ls, la, lt, moved = loop(st, adam, stats, jnp.float32(1.1))
+        assert int(moved) > 0
+        occ = np.asarray(shard_occupancy(ls, n_shard))
+        assert occ.sum() == 16 and occ.max() <= 2
+
+        reb = make_sharded_rebalance(mesh, cap, 1, migration_budget=4)
+        s, a, t = st, adam, stats
+        for _ in range(8):
+            s, a, t, m1 = reb(s, a, t)
+            if int(m1) == 0:
+                break
+        np.testing.assert_array_equal(np.asarray(ls.xyz), np.asarray(s.xyz))
+        np.testing.assert_array_equal(np.asarray(ls.alive), np.asarray(s.alive))
+
+    def test_below_skew_is_noop_single_dispatch(self):
+        from gs_tpu.parallel.densify_sharded import make_sharded_rebalance_loop
+
+        cap = 64
+        mesh = mesh_mod.make_mesh(data=1)
+        st, _ = _scene(n=64, cap=cap)
+        adam = optim.init(st.params())
+        stats = densify.DensifyStats.zeros(cap)
+        loop = make_sharded_rebalance_loop(mesh, cap, 1, migration_budget=4)
+        s, _, _, moved = loop(st, adam, stats, jnp.float32(1.5))
+        assert int(moved) == 0
+        np.testing.assert_array_equal(np.asarray(s.xyz), np.asarray(st.xyz))
+
+
+class TestFinalIterationSkip:
+    def test_apply_update_false_freezes_params(self):
+        st, cam = _scene()
+        opt_cfg = OptimizationParams()
+        mesh = mesh_mod.make_mesh(data=1)
+        step = make_sharded_train_step(mesh, opt_cfg, RCFG, H, W, st.capacity, 1)
+        adam = optim.init(st.params())
+        stats = densify.DensifyStats.zeros(st.capacity)
+        cam_batch = cameras.stack_cameras([cam])
+        s_state, s_adam, _, sm = step(
+            st, adam, stats, cam_batch, jnp.zeros(3), jnp.int32(0),
+            jnp.float32(1.0), jnp.bool_(False),
+        )
+        # the reference's final iteration: loss/stats computed, no Adam step
+        assert np.isfinite(float(sm["loss"]))
+        np.testing.assert_array_equal(np.asarray(s_state.xyz), np.asarray(st.xyz))
+        np.testing.assert_array_equal(
+            np.asarray(s_adam.mu["xyz"]), np.asarray(adam.mu["xyz"]))
+
+
+class TestMultiprocessBatchPath:
+    """The real multi-process data contract, exercised single-process."""
+
+    def test_assembled_batch_matches_stacked(self):
+        from gs_tpu.data import multihost
+
+        st, cam0 = _scene(seed=0)
+        _, cam1 = _scene(seed=1)
+        mesh = mesh_mod.make_mesh(data=2)  # 2x4
+        g = multihost.assemble_global_batch(mesh, [cam0, cam1])
+        s = cameras.stack_cameras([cam0, cam1])
+        for name in ("view", "full_proj", "cam_pos", "tan_fovx", "image"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(g, name)), np.asarray(getattr(s, name)),
+                err_msg=name)
+        # the image really is laid out over the data axis
+        assert g.image.sharding.spec[0] == mesh_mod.DATA_AXIS
+
+    def test_assembled_batch_drives_step_identically(self):
+        st, cam0 = _scene(seed=0)
+        _, cam1 = _scene(seed=1)
+        from gs_tpu.data import multihost
+
+        opt_cfg = OptimizationParams()
+        mesh = mesh_mod.make_mesh(data=2)
+        step = make_sharded_train_step(mesh, opt_cfg, RCFG, H, W, st.capacity, 1)
+        adam = optim.init(st.params())
+        stats = densify.DensifyStats.zeros(st.capacity)
+        args = (jnp.zeros(3), jnp.int32(0), jnp.float32(1.0), jnp.bool_(True))
+        g_state, _, _, gm = step(
+            st, adam, stats, multihost.assemble_global_batch(mesh, [cam0, cam1]),
+            *args)
+        r_state, _, _, rm = step(
+            st, adam, stats, cameras.stack_cameras([cam0, cam1]), *args)
+        np.testing.assert_allclose(float(gm["loss"]), float(rm["loss"]),
+                                   rtol=0, atol=0)
+        np.testing.assert_array_equal(np.asarray(g_state.xyz),
+                                      np.asarray(r_state.xyz))
+
+    def test_unowned_fed_slot_raises(self):
+        from gs_tpu.data import multihost
+
+        _, cam0 = _scene(seed=0)
+        cam_noimg = cam0.replace(image=None)  # params-only (unowned) camera
+        mesh = mesh_mod.make_mesh(data=2)
+        with pytest.raises(RuntimeError, match="does not own"):
+            jax.block_until_ready(
+                multihost.assemble_global_batch(mesh, [cam0, cam_noimg]).image)
+
+    def test_sampler_feeds_slots_from_owner_pools(self):
+        import random as pyrandom
+
+        from gs_tpu.data import multihost
+
+        # simulate 2 processes feeding data rows [0, 1]; 8 cameras with
+        # round-robin ownership (gi % 2). Each host holds images only for
+        # its owned cameras; the sampler must draw IDENTICAL global batches
+        # on both hosts and give slot i only cameras owned by feeder i.
+        base = []
+        for i in range(8):
+            _, c = _scene(seed=i)
+            base.append(c)
+
+        def host_run(host):
+            pyrandom.seed(123)
+            view = [c if i % 2 == host else c.replace(image=None)
+                    for i, c in enumerate(base)]
+            by_id = {id(c): i for i, c in enumerate(view)}
+            sampler = multihost.BatchSampler(view, feeders=[0, 1],
+                                             process_count=2)
+            seqs = []
+            for _ in range(6):
+                batch = sampler.next_batch()
+                idx = [by_id[id(b)] for b in batch]
+                seqs.append(idx)
+                for slot, (gi, b) in enumerate(zip(idx, batch)):
+                    assert gi % 2 == slot  # slot fed by its owner process
+                    if slot == host:
+                        assert b.image is not None  # pixels present locally
+            return seqs
+
+        assert host_run(0) == host_run(1)  # identical global draws
