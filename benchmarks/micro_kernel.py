@@ -74,8 +74,10 @@ def main():
     rtt = timed_chain(lambda i, prev: tiny(i, prev), iters=20)
 
     backend = resolve_backend(os.environ.get("GS_TPU_BENCH_BACKEND", "auto"))
-    configs = [(48, 32, 64), (48, 32, 128), (48, 32, 256),
-               (32, 16, 64), (16, 16, 64), (16, 16, 256)]
+    import json as _json
+    configs = _json.loads(os.environ.get(
+        "GS_TPU_MB_CONFIGS",
+        "[[48,32,64],[48,32,128],[48,32,256],[32,16,64],[16,16,64],[16,16,256]]"))
     for tw, th, chunk in configs:
         tiles_x, tiles_y = -(-W // tw), -(-H // th)
         cfg = RasterizeConfig(backend=backend, chunk=chunk, tile_w=tw,

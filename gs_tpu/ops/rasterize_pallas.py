@@ -42,6 +42,9 @@ _F32 = jnp.float32
 _HI = jax.lax.Precision.HIGHEST
 ATTR_W = 9
 
+# transposed pair buffers pad ATTR_W=9 rows to a sublane-aligned 16 (Mosaic
+# slices must be 8-row aligned); the 7 pad rows are never read
+ATTR_WP = 16
 # tile-grid kernels: chunks fetched per manual DMA superstep (bandwidth
 # amortization; compute stays gated at single-chunk granularity)
 DMA_SUBCHUNKS = int(os.environ.get("GS_TPU_PALLAS_DMA_CHUNKS", "4"))
@@ -108,15 +111,64 @@ def _suffix_sum_strict(x):
 
 
 def _chunk_alpha(attr, px, py):
-    """alpha/power for one chunk: attr[S, ATTR_W] vs px/py[1,P]."""
+    """alpha/power for one chunk: attr[S, ATTR_W] vs px/py[1,P].
+
+    Also returns g_exp = exp(power): the backward chain needs it and
+    recomputing the transcendental is a whole wasted [S,P] pass.
+    """
     dx = attr[:, 0:1] - px
     dy = attr[:, 1:2] - py
     power = (
         -0.5 * (attr[:, 2:3] * dx * dx + attr[:, 4:5] * dy * dy)
         - attr[:, 3:4] * dx * dy
     )
-    alpha = jnp.minimum(ALPHA_MAX, attr[:, 8:9] * jnp.exp(power))
-    return alpha, power, dx, dy
+    g_exp = jnp.exp(power)
+    alpha = jnp.minimum(ALPHA_MAX, attr[:, 8:9] * g_exp)
+    return alpha, power, dx, dy, g_exp
+
+
+
+def _tile_basis(tile_w, tile_h, p):
+    """[8, P] tile-local monomial basis (1, xl, yl, xl2, xl*yl, yl2, 0, 0)."""
+    pcol = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    xl = (pcol % tile_w).astype(_F32)
+    yl = (pcol // tile_w).astype(_F32)
+    one = jnp.ones((1, p), _F32)
+    zero = jnp.zeros((1, p), _F32)
+    return jnp.concatenate(
+        [one, xl, yl, xl * xl, xl * yl, yl * yl, zero, zero], axis=0)
+
+
+def _moment_grads(attr, d_power, x0f, y0f, basis):
+    """(d_mean_x, d_mean_y, d_conic a/b/c, d_opac) via ONE moment matmul.
+
+    sum_P f(dx,dy)*d_power for f in {dx, dy, dx2, dxdy, dy2} decomposes over
+    the fixed tile-local monomials (dx = ddx - xl with ddx = mean_x - tile
+    origin), so five masked multiply + cross-lane-reduce passes collapse
+    into a single MXU contraction M = d_power @ basis^T. d_opac falls out
+    free as M0 / opacity (d_power = opac * g_exp * d_alpha). Accuracy: the
+    recentred expansion cancels at ~eps*(ddx/dx)^2 — <= ~5e-4 relative on
+    d_conic for 3-sigma-supported splats, well inside the 2e-3 gradient
+    parity tolerances and far below training noise.
+    """
+    M = jax.lax.dot_general(
+        d_power, basis, (((1,), (1,)), ((), ())), precision=_HI,
+        preferred_element_type=_F32,
+    )  # [S, 8]
+    M0, Mx, My = M[:, 0:1], M[:, 1:2], M[:, 2:3]
+    Mxx, Mxy, Myy = M[:, 3:4], M[:, 4:5], M[:, 5:6]
+    ddx = attr[:, 0:1] - x0f
+    ddy = attr[:, 1:2] - y0f
+    ca, cb, cc = attr[:, 2:3], attr[:, 3:4], attr[:, 4:5]
+    Sx = ddx * M0 - Mx
+    Sy = ddy * M0 - My
+    Sxx = ddx * ddx * M0 - 2.0 * ddx * Mx + Mxx
+    Sxy = ddx * ddy * M0 - ddx * My - ddy * Mx + Mxy
+    Syy = ddy * ddy * M0 - 2.0 * ddy * My + Myy
+    opac = attr[:, 8:9]
+    d_opac = jnp.where(opac > 0.0, M0 / jnp.where(opac > 0.0, opac, 1.0), 0.0)
+    return (-(ca * Sx + cb * Sy), -(cc * Sy + cb * Sx),
+            -0.5 * Sxx, -Sxy, -0.5 * Syy, d_opac)
 
 
 def _pixel_coords(tid, tiles_x, tile_w, tile_h, p):
@@ -216,8 +268,12 @@ def _fwd_tile_kernel(starts_ref, ends_ref, tid_ref, attr_hbm,
 
     def dma(i):
         slot = jax.lax.rem(i, 2)
+        # HBM refs of [B, 9] arrays get a lane-padded (1,128) tiling that
+        # forbids row-sliced DMA; the buffer is stored TRANSPOSED [9, B]
+        # (minor dim 128-aligned: binning aligns starts to 128) and small
+        # per-chunk transposes restore the [S, 9] compute layout in VMEM.
         return pltpu.make_async_copy(
-            attr_hbm.at[pl.ds(start + i * sup, sup), :],
+            attr_hbm.at[:, pl.ds(start + i * sup, sup)],
             abuf.at[slot], sem.at[slot],
         )
 
@@ -243,11 +299,12 @@ def _fwd_tile_kernel(starts_ref, ends_ref, tid_ref, attr_hbm,
 
                 @pl.when((sub < end) & (jnp.min(died_ref[:]) < 0.5))
                 def _(ci=ci, sub=sub, slot=slot):
-                    attr = abuf[slot, ci * s:(ci + 1) * s, :]
-                    alpha, power, _, _ = _chunk_alpha(attr, px, py)
+                    attr = abuf[slot, :, ci * s:(ci + 1) * s].T
+                    alpha, power, _, _, _ = _chunk_alpha(attr, px, py)
                     incl = (alpha >= ALPHA_SKIP) & (power <= 0.0)
                     omb = jnp.where(incl, 1.0 - alpha, 1.0)
-                    t_before = t_ref[0] * _shift_down(_cumprod_incl(omb), 1, 1.0)
+                    cp = _cumprod_incl(omb)
+                    t_before = t_ref[0] * _shift_down(cp, 1, 1.0)
                     stop = incl & (t_before * (1.0 - alpha) < T_EPS)
                     stop_f = stop.astype(_F32)
                     died_before = died_ref[:] + _cumsum_excl(stop_f)
@@ -257,8 +314,21 @@ def _fwd_tile_kernel(starts_ref, ends_ref, tid_ref, attr_hbm,
                         attr[:, 5:8], w, (((0,), (0,)), ((), ())),
                         precision=_HI, preferred_element_type=_F32,
                     )
-                    t_ref[0] *= _cumprod_incl(
-                        jnp.where(contrib, omb, 1.0))[s - 1:s]
+                    # T after the chunk without a second cumprod: a pixel
+                    # that stops ends at T BEFORE its first stop (contrib
+                    # excludes j >= first stop, so prod(contrib omb) =
+                    # t_before[first stop] / t_in); otherwise every incl
+                    # row contributes, T *= cp[-1]. Previously-dead pixels
+                    # keep their T.
+                    first_stop = stop & (died_before < 0.5)
+                    t_stop = jnp.max(
+                        jnp.where(first_stop, t_before, 0.0), axis=0,
+                        keepdims=True)
+                    died_now = jnp.max(stop_f, axis=0, keepdims=True)
+                    t_ref[0] = jnp.where(
+                        died_ref[:] > 0.5, t_ref[0],
+                        jnp.where(died_now > 0.5, t_stop,
+                                  t_ref[0] * cp[s - 1:s]))
                     pos = sub + jax.lax.broadcasted_iota(jnp.int32, (s, p), 0)
                     ncon_ref[0] = jnp.maximum(
                         ncon_ref[0],
@@ -278,17 +348,28 @@ def _fwd_tile_kernel(starts_ref, ends_ref, tid_ref, attr_hbm,
             dma(i_f).wait()
 
 
+def _dma_subchunks(s: int) -> int:
+    """Chunks per DMA superstep; superstep length must be a 128-multiple
+    (transposed-buffer column DMA alignment)."""
+    kc = max(1, DMA_SUBCHUNKS)
+    while (kc * s) % 128:
+        kc *= 2
+    return kc
+
+
 def _composite_fwd_pallas_tile(st, sp_attr, tile_ids, starts, ends):
     s = st.chunk
-    kc = DMA_SUBCHUNKS
+    kc = _dma_subchunks(s)
     sup = kc * s
     p = st.tile_w * st.tile_h
     b = sp_attr.shape[0]
     assert b % s == 0, "pair buffer must be chunk-aligned"
     m = tile_ids.shape[0]
-    # the last superstep's DMA may read up to sup-1 rows past a tile's
-    # range end; pad so it never leaves the buffer (rows are compute-gated)
-    attr_pad = jnp.concatenate([sp_attr, jnp.zeros((sup, ATTR_W), _F32)])
+    # transposed [ATTR_W, B] buffer (see _fwd_tile_kernel dma note); the
+    # last superstep's DMA may read up to sup-1 columns past a tile's range
+    # end; pad so it never leaves the buffer (rows are compute-gated)
+    attr_pad = jnp.zeros((ATTR_WP, b + sup), _F32).at[:ATTR_W, :b].set(
+        sp_attr.T)
 
     kernel = functools.partial(_fwd_tile_kernel, st=st, kc=kc)
     out_row = lambda j, st_, en_, ti_: (j, 0, 0)
@@ -302,7 +383,7 @@ def _composite_fwd_pallas_tile(st, sp_attr, tile_ids, starts, ends):
             pl.BlockSpec((1, 1, p), out_row),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, sup, ATTR_W), _F32),  # double-buffered pair rows
+            pltpu.VMEM((2, ATTR_WP, sup), _F32),  # double-buffered pair cols
             pltpu.VMEM((1, p), _F32),  # died mask
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -347,7 +428,7 @@ def _bwd_tile_kernel(starts_ref, ends_ref, tid_ref, attr_hbm,
     def ldma(i):
         slot = jax.lax.rem(i, 2)
         return pltpu.make_async_copy(
-            attr_hbm.at[pl.ds(start + i * sup, sup), :],
+            attr_hbm.at[:, pl.ds(start + i * sup, sup)],
             abuf.at[slot], lsem.at[slot],
         )
 
@@ -355,7 +436,7 @@ def _bwd_tile_kernel(starts_ref, ends_ref, tid_ref, attr_hbm,
         slot = jax.lax.rem(i, 2)
         return pltpu.make_async_copy(
             obuf.at[slot],
-            dattr_hbm.at[pl.ds(start + i * sup, sup), :],
+            dattr_hbm.at[:, pl.ds(start + i * sup, sup)],
             ssem.at[slot],
         )
 
@@ -379,14 +460,14 @@ def _bwd_tile_kernel(starts_ref, ends_ref, tid_ref, attr_hbm,
             def _():
                 sdma(i + 2).wait()
 
-            obuf[slot] = jnp.zeros_like(obuf[slot])
+            obuf[slot] = jnp.zeros((ATTR_WP, sup), _F32)
             for ci in reversed(range(kc)):
                 sub = start + i * sup + ci * s
 
                 @pl.when(sub < end)
                 def _(ci=ci, sub=sub, slot=slot):
-                    attr = abuf[slot, ci * s:(ci + 1) * s, :]
-                    alpha, power, dx, dy = _chunk_alpha(attr, px, py)
+                    attr = abuf[slot, :, ci * s:(ci + 1) * s].T
+                    alpha, power, dx, dy, g_exp = _chunk_alpha(attr, px, py)
                     pos = sub + jax.lax.broadcasted_iota(jnp.int32, (s, p), 0)
                     incl = (alpha >= ALPHA_SKIP) & (power <= 0.0)
                     contrib = incl & (pos < ncon_ref[0])
@@ -409,7 +490,6 @@ def _bwd_tile_kernel(starts_ref, ends_ref, tid_ref, attr_hbm,
                         0.0,
                     )
 
-                    g_exp = jnp.exp(power)
                     d_opac = jnp.sum(
                         jnp.where(contrib, g_exp * d_alpha, 0.0), axis=1,
                         keepdims=True)
@@ -420,7 +500,7 @@ def _bwd_tile_kernel(starts_ref, ends_ref, tid_ref, attr_hbm,
                         w, gc, (((1,), (1,)), ((), ())), precision=_HI,
                         preferred_element_type=_F32,
                     )
-                    obuf[slot, ci * s:(ci + 1) * s, :] = jnp.concatenate(
+                    obuf[slot, :, ci * s:(ci + 1) * s] = jnp.concatenate(
                         [
                             sum1(-(attr[:, 2:3] * dx + attr[:, 3:4] * dy)
                                  * d_power),
@@ -431,10 +511,9 @@ def _bwd_tile_kernel(starts_ref, ends_ref, tid_ref, attr_hbm,
                             sum1(-0.5 * dy * dy * d_power),
                             d_rgb,
                             d_opac,
-                        ] + ([jnp.zeros((s, ATTR_W - 9), _F32)]
-                             if ATTR_W > 9 else []),
+                        ] + [jnp.zeros((s, ATTR_WP - 9), _F32)],
                         axis=1,
-                    )
+                    ).T
 
                     trun_ref[:] = trun_ref[:] / omb_sufprod[0:1]
                     ssuf_ref[:] = ssuf_ref[:] + jnp.sum(wb, axis=0,
@@ -458,14 +537,15 @@ def _composite_bwd_pallas_tile(st, residuals, cotangents):
     g_color_all, g_t_all, _ = cotangents
 
     s = st.chunk
-    kc = DMA_SUBCHUNKS
+    kc = _dma_subchunks(s)
     sup = kc * s
     p = st.tile_w * st.tile_h
     b = sp_attr.shape[0]
     assert b % s == 0
     m = tile_ids.shape[0]
 
-    attr_pad = jnp.concatenate([sp_attr, jnp.zeros((sup, ATTR_W), _F32)])
+    attr_pad = jnp.zeros((ATTR_WP, b + sup), _F32).at[:ATTR_W, :b].set(
+        sp_attr.T)
     gc = jnp.asarray(g_color_all).transpose(0, 2, 1)  # [M,3,P]
     gt = (jnp.asarray(g_t_all) * t_final)[:, None, :]  # tfin_term
     tf = t_final[:, None, :]
@@ -485,20 +565,21 @@ def _composite_bwd_pallas_tile(st, residuals, cotangents):
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((2, sup, ATTR_W), _F32),  # load double buffer
-            pltpu.VMEM((2, sup, ATTR_W), _F32),  # store double buffer
+            pltpu.VMEM((2, ATTR_WP, sup), _F32),  # load double buffer
+            pltpu.VMEM((2, ATTR_WP, sup), _F32),  # store double buffer
             pltpu.VMEM((1, p), _F32),  # running tail transmittance
             pltpu.VMEM((1, p), _F32),  # suffix sum of w*b
             pltpu.SemaphoreType.DMA((2,)),  # load sems
             pltpu.SemaphoreType.DMA((2,)),  # store sems
         ],
     )
-    d_attr = pl.pallas_call(
+    d_attr_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((b + sup, ATTR_W), _F32)],
+        out_shape=[jax.ShapeDtypeStruct((ATTR_WP, b + sup), _F32)],
         interpret=_interpret(),
     )(starts, ends, tile_ids, attr_pad, gc, gt, tf, nc)[0]
+    d_attr = d_attr_t[:ATTR_W, :b].T
 
     # rows past each tile's trimmed end (skipped supersteps) and rows owned
     # by no listed tile are never stored -> uninitialized; mask them off
@@ -514,7 +595,7 @@ def _composite_bwd_pallas_tile(st, residuals, cotangents):
     chunk_pos = jnp.arange(nchunks, dtype=jnp.int32) * s
     covered = (owner >= 0) & nonempty[owner_c] & (chunk_pos < ends[owner_c])
     rmask = jnp.repeat(covered, s)[:, None]
-    return (jnp.where(rmask, d_attr[:b], 0.0), None, None, None)
+    return (jnp.where(rmask, d_attr, 0.0), None, None, None)
 
 
 # ----------------------------------------------------------------------------
@@ -545,11 +626,12 @@ def _fwd_kernel(row_ref, blk_ref, tid_ref, attr_ref,
         tid = tid_ref[jnp.minimum(row, m - 1)]
         px, py = _pixel_coords(tid, st.tiles_x, st.tile_w, st.tile_h, p)
         attr = attr_ref[:]
-        alpha, power, _, _ = _chunk_alpha(attr, px, py)
+        alpha, power, _, _, _ = _chunk_alpha(attr, px, py)
         incl = (alpha >= ALPHA_SKIP) & (power <= 0.0)
         omb = jnp.where(incl, 1.0 - alpha, 1.0)
         # exclusive cumprod = shifted inclusive (no [S,P] division)
-        t_before = t_ref[0] * _shift_down(_cumprod_incl(omb), 1, 1.0)
+        cp = _cumprod_incl(omb)
+        t_before = t_ref[0] * _shift_down(cp, 1, 1.0)
         stop = incl & (t_before * (1.0 - alpha) < T_EPS)
         stop_f = stop.astype(_F32)
         died_before = died_ref[:] + _cumsum_excl(stop_f)
@@ -560,8 +642,14 @@ def _fwd_kernel(row_ref, blk_ref, tid_ref, attr_ref,
             attr[:, 5:8], w, (((0,), (0,)), ((), ())), precision=_HI,
             preferred_element_type=_F32,
         )
-        # Mosaic has no reduce_prod; the full product is the cumprod's last row
-        t_ref[0] *= _cumprod_incl(jnp.where(contrib, omb, 1.0))[s - 1 : s]
+        # T after the chunk, no second cumprod (see _fwd_tile_kernel note)
+        first_stop = stop & (died_before < 0.5)
+        t_stop = jnp.max(jnp.where(first_stop, t_before, 0.0), axis=0,
+                         keepdims=True)
+        died_now = jnp.max(stop_f, axis=0, keepdims=True)
+        t_ref[0] = jnp.where(
+            died_ref[:] > 0.5, t_ref[0],
+            jnp.where(died_now > 0.5, t_stop, t_ref[0] * cp[s - 1:s]))
         pos = blk_ref[j] * s + jax.lax.broadcasted_iota(jnp.int32, (s, p), 0)
         ncon_ref[0] = jnp.maximum(
             ncon_ref[0], jnp.max(jnp.where(contrib, pos + 1, 0), axis=0, keepdims=True)
@@ -655,7 +743,7 @@ def _bwd_kernel(row_ref, blk_ref, tid_ref, attr_ref,
         tid = tid_ref[jnp.minimum(row, m - 1)]
         px, py = _pixel_coords(tid, st.tiles_x, st.tile_w, st.tile_h, p)
         attr = attr_ref[:]
-        alpha, power, dx, dy = _chunk_alpha(attr, px, py)
+        alpha, power, dx, dy, g_exp = _chunk_alpha(attr, px, py)
         pos = blk_ref[j] * s + jax.lax.broadcasted_iota(jnp.int32, (s, p), 0)
         incl = (alpha >= ALPHA_SKIP) & (power <= 0.0)
         contrib = incl & (pos < ncon_ref[0])
@@ -678,7 +766,6 @@ def _bwd_kernel(row_ref, blk_ref, tid_ref, attr_ref,
             0.0,
         )
 
-        g_exp = jnp.exp(power)
         d_opac = jnp.sum(
             jnp.where(contrib, g_exp * d_alpha, 0.0), axis=1, keepdims=True
         )
@@ -688,6 +775,12 @@ def _bwd_kernel(row_ref, blk_ref, tid_ref, attr_ref,
             w, gc, (((1,), (1,)), ((), ())), precision=_HI,
             preferred_element_type=_F32,
         )  # [S,P] x [3,P] -> [S,3]
+        # NOTE (round 3, measured): collapsing the five dx/dy reductions
+        # into one [S,P]@[P,8] moment matmul over a tile-local monomial
+        # basis is ~10% SLOWER at fp32-HIGHEST (bwd 31.3 -> 34.3 ms at the
+        # bench shape) — Mosaic's cross-lane reductions are cheaper than a
+        # 6-pass fp32-emulated MXU contraction with a 8->128 padded output.
+        # Keep the direct form; _moment_grads retained for reference.
         dattr_ref[:] = jnp.concatenate(
             [
                 sum1(-(attr[:, 2:3] * dx + attr[:, 3:4] * dy) * d_power),

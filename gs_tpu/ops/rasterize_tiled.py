@@ -77,6 +77,25 @@ def resolve_backend(backend: str) -> str:
     return backend
 
 
+def binning_align(chunk: int, backend: str) -> int:
+    """Pair-layout alignment for a compositing backend.
+
+    The Pallas tile-grid kernels stream the pair buffer as a transposed
+    [9, B] array whose DMA column offsets (= tile range starts) must be
+    128-aligned, so binning aligns tile ranges to lcm(chunk, 128) there;
+    everywhere else chunk alignment suffices.
+    """
+    if backend == "pallas":
+        from gs_tpu.ops import rasterize_pallas as rp
+
+        if rp.KERNEL_MODE == "tile":
+            a = chunk
+            while a % 128:
+                a += chunk
+            return a
+    return chunk
+
+
 def pack_attributes(means2d, conics, colors, opacities):
     """[N,2]+[N,3]+[N,3]+[N] -> [N, ATTR_W] packed splat attributes."""
     n = means2d.shape[0]
@@ -109,15 +128,20 @@ class CompositeStatic(NamedTuple):
 
 
 def _chunk_alpha(attr, px, py):
-    """alpha/power for a chunk: attr[S, ATTR_W] vs px/py[P]."""
+    """alpha/power for a chunk: attr[S, ATTR_W] vs px/py[P].
+
+    Also returns g_exp = exp(power) so the backward reuses it instead of
+    re-running the transcendental over the whole [S,P] block.
+    """
     dx = attr[:, 0:1] - px[None, :]
     dy = attr[:, 1:2] - py[None, :]
     power = (
         -0.5 * (attr[:, 2:3] * dx * dx + attr[:, 4:5] * dy * dy)
         - attr[:, 3:4] * dx * dy
     )
-    alpha = jnp.minimum(ALPHA_MAX, attr[:, 8:9] * jnp.exp(power))
-    return alpha, power, dx, dy
+    g_exp = jnp.exp(power)
+    alpha = jnp.minimum(ALPHA_MAX, attr[:, 8:9] * g_exp)
+    return alpha, power, dx, dy, g_exp
 
 
 def _tile_pixel_coords(tile_id, st: CompositeStatic):
@@ -276,7 +300,7 @@ def _forward_one_tile(st, sp_attr, tile_id, start, end):
         rgb = attr[:, A_RGB]
         pos = i0 + jnp.arange(S, dtype=jnp.int32)
 
-        alpha, power, _, _ = _chunk_alpha(attr, px, py)
+        alpha, power, _, _, _ = _chunk_alpha(attr, px, py)
         incl = (pos < end)[:, None] & (alpha >= ALPHA_SKIP) & (power <= 0.0)
         omb = jnp.where(incl, 1.0 - alpha, 1.0)  # "one minus alpha"
         t_before = t_carry[None, :] * (jnp.cumprod(omb, axis=0) / omb)
@@ -341,7 +365,7 @@ def _backward_chunk(st, px, py, attr, pos, end, ncon, g_color, g_t, t_end,
     ``g_t`` is pre-multiplied by T_fin by the caller (tfin_term).
     """
     rgb = attr[:, A_RGB]
-    alpha, power, dx, dy = _chunk_alpha(attr, px, py)
+    alpha, power, dx, dy, g_exp = _chunk_alpha(attr, px, py)
     incl = (pos < end)[:, None] & (alpha >= ALPHA_SKIP) & (power <= 0.0)
     contrib = incl & (pos[:, None] < ncon[None, :])
     omb = jnp.where(contrib, 1.0 - alpha, 1.0)
@@ -369,7 +393,6 @@ def _backward_chunk(st, px, py, attr, pos, end, ncon, g_color, g_t, t_end,
     )
 
     # chains (reference CUDA backward: dG ungated by the 0.99 cap)
-    g_exp = jnp.exp(power)
     d_opac = jnp.sum(jnp.where(contrib, g_exp * d_alpha, 0.0), axis=1)  # [S]
     d_power = jnp.where(contrib, attr[:, 8:9] * g_exp * d_alpha, 0.0)
     d_conic = jnp.stack(
@@ -563,10 +586,12 @@ def rasterize_tiled(
     # (see projection.bin_radii for the proof)
     from gs_tpu.ops.projection import bin_radii
 
+    backend = resolve_backend(cfg.backend)
     attr = pack_attributes(means2d, conics, colors, opacities)
     ab = binning.bin_gaussians_aligned(
         means2d, depths, bin_radii(radii, opacities), tiles_x, tiles_y,
-        cfg.tile_w, cfg.tile_h, pair_budget, cfg.chunk,
+        cfg.tile_w, cfg.tile_h, pair_budget,
+        binning_align(cfg.chunk, backend),
     )
 
     # ONE packed gather per pair, through the depth-sorted attribute table
@@ -587,7 +612,7 @@ def rasterize_tiled(
         tile_h=cfg.tile_h,
         chunk=cfg.chunk,
         tile_batch=cfg.tile_batch,
-        backend=resolve_backend(cfg.backend),
+        backend=backend,
     )
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     ends = ab.ends

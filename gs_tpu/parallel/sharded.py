@@ -86,10 +86,13 @@ def composite_strip(st, means2d, depths, bin_radii_v, attr, n_shard, me,
     pre-composite cost by the shard count. Returns
     (tile_color [T_local,P,3] with bg NOT applied, tile_t, local num_pairs).
     """
+    from gs_tpu.ops.rasterize_tiled import binning_align
+
     local_budget = local_pair_budget(pair_budget, n_shard, st.chunk)
     ab = binning.bin_gaussians_aligned(
         means2d, depths, bin_radii_v,
-        st.tiles_x, st.tiles_y, st.tile_w, st.tile_h, local_budget, st.chunk,
+        st.tiles_x, st.tiles_y, st.tile_w, st.tile_h, local_budget,
+        binning_align(st.chunk, st.backend),
         col_stride=n_shard, col_offset=me,
     )
     # ONE packed gather per local pair through the depth-sorted attribute
