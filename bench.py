@@ -18,10 +18,16 @@ Extra keys keep the headline honest:
   - render_pix_per_s: forward-only render (the reference headline's shape).
   - num_pairs: true (tile, splat) pair count; the pair budget is grown
     before timing if it would truncate (no silently-dropped work).
+  - heavy_*: a second, HOSTILE configuration at post-densification scale
+    (1M Gaussians, unclipped scales, heavy tile overlap — the shape real
+    training produces after densify growth; the friendly 262k scene alone
+    would overstate throughput at the scenes that matter). Disable with
+    GS_TPU_BENCH_HEAVY=0 if pressed for time.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import math
 import os
@@ -39,6 +45,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 H, W = 1080, 1920
 N_GAUSS = 262_144
+N_HEAVY = 1_048_576
 BASELINE_PIX_PER_S = 30 * 1920 * 1080  # reference: >=30fps @1080p fwd-only
 BACKEND = os.environ.get("GS_TPU_BENCH_BACKEND", "auto")
 # 48x32 tiles: ~2.9x fewer (tile,splat) pairs than 16x16 on this scene, and
@@ -48,73 +55,58 @@ BACKEND = os.environ.get("GS_TPU_BENCH_BACKEND", "auto")
 CHUNK = int(os.environ.get("GS_TPU_BENCH_CHUNK", "64"))
 TILE_W = int(os.environ.get("GS_TPU_BENCH_TILE_W", "48"))
 TILE_H = int(os.environ.get("GS_TPU_BENCH_TILE_H", "32"))
+RUN_HEAVY = os.environ.get("GS_TPU_BENCH_HEAVY", "1") != "0"
 
 
-def main():
-    import dataclasses
-
+def make_scene(n, heavy):
     from gs_tpu import cameras
-    from gs_tpu.config import OptimizationParams, RasterizeConfig
-    from gs_tpu.models import densify, gaussians, optim
-    from gs_tpu.renderer import render
-    from gs_tpu.training import train_step
-    from gs_tpu.utils import losses
+    from gs_tpu.models import gaussians
 
-    platform = jax.devices()[0].platform
     rng = np.random.default_rng(0)
-    pts = rng.uniform(-2, 2, size=(N_GAUSS, 3)).astype(np.float32)
-    cols = rng.uniform(0, 1, size=(N_GAUSS, 3)).astype(np.float32)
-    state = gaussians.create_from_pcd(pts, cols, max_sh_degree=3, capacity=N_GAUSS)
-    # make splats reasonably sized/visible
-    state = state.replace(
-        log_scale=jnp.clip(state.log_scale, -6.0, -3.5),
-        logit_opacity=jnp.full_like(state.logit_opacity, 0.0),
-    )
+    pts = rng.uniform(-2, 2, size=(n, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, size=(n, 3)).astype(np.float32)
+    state = gaussians.create_from_pcd(pts, cols, max_sh_degree=3, capacity=n)
+    if heavy:
+        # post-densify shape: a broad log-uniform scale mix up to ~35 px
+        # sigma on screen (big splats cover tens of tiles each) and varied
+        # opacities — nothing conveniently clipped small
+        ls = rng.uniform(-5.5, -2.0, size=(n, 3)).astype(np.float32)
+        state = state.replace(
+            log_scale=jnp.asarray(ls),
+            logit_opacity=jnp.asarray(
+                rng.uniform(-1.5, 2.5, size=(n, 1)).astype(np.float32)),
+        )
+    else:
+        state = state.replace(
+            log_scale=jnp.clip(state.log_scale, -6.0, -3.5),
+            logit_opacity=jnp.full_like(state.logit_opacity, 0.0),
+        )
     cam = cameras.make_camera(
         np.eye(3), np.array([0.0, 0.0, 5.0]),
         fovx=math.radians(70), fovy=math.radians(46), width=W, height=H,
         image=np.zeros((3, H, W), np.float32),
     )
-    target = jnp.zeros((3, H, W), jnp.float32)
-    # start with a deliberately small pair budget and grow to fit: every
-    # [pair-buffer]-proportional stage (sort, gather, backward scatter)
-    # costs by the STATIC budget, so an oversized factor quietly taxes the
-    # whole pipeline (the trainer uses the same grow-on-overflow contract)
-    cfg = RasterizeConfig(backend=BACKEND, chunk=CHUNK, tile_w=TILE_W,
-                          tile_h=TILE_H, pair_budget_factor=1.0)
+    return state, cam
 
-    # honest pair budget: grow until nothing is truncated before timing
-    @jax.jit
-    def probe(state):
-        return render(cam, state, active_sh_degree=3, bg_color=jnp.zeros(3),
-                      cfg=cfg).num_pairs
 
-    num_pairs = int(probe(state))
-    cfg = dataclasses.replace(
-        cfg, pair_budget_factor=1.05 * num_pairs / N_GAUSS)
+def timed_chain(fn, iters=10):
+    """Chained dependent dispatches (tunnel-proof; see round-2 notes)."""
+    s = fn(np.float32(0), jnp.float32(0.0))
+    float(s)
+    t0 = time.perf_counter()
+    for i in range(1, iters + 1):
+        s = fn(np.float32(i), s)
+    float(s)
+    return (time.perf_counter() - t0) / iters
 
-    # Timing protocol for the tunneled TPU (see benchmarks/micro_datamove):
-    # every iteration is CHAINED through the previous scalar (identical
-    # independent calls have been observed to elide — 39 Gpx/s "results"),
-    # variation + chaining live INSIDE the one jit per step (host-side aux
-    # ops cost a tunnel round trip each), and the tunnel's per-dispatch
-    # round-trip cost — measured with a trivial chained jit — is subtracted
-    # (it is an artifact of the development tunnel, not of the step; on a
-    # locally-attached chip it is microseconds).
-    def timed_chain(fn, iters=10):
-        s = fn(np.float32(0), jnp.float32(0.0))
-        float(s)
-        t0 = time.perf_counter()
-        for i in range(1, iters + 1):
-            s = fn(np.float32(i), s)
-        float(s)
-        return (time.perf_counter() - t0) / iters
 
-    tiny = jax.jit(lambda i, prev: prev * 0.5 + i)
-    rtt = timed_chain(lambda i, prev: tiny(i, prev), iters=20)
+def grads_sum(grads):
+    return sum(jnp.sum(g) for g in jax.tree.leaves(grads))
 
-    def grads_sum(grads):
-        return sum(jnp.sum(g) for g in jax.tree.leaves(grads))
+
+def bench_fwd_bwd(state, cam, cfg, target, rtt, iters=10):
+    from gs_tpu.renderer import render
+    from gs_tpu.utils import losses
 
     @jax.jit
     def fwd_bwd(state, i, prev):
@@ -126,12 +118,49 @@ def main():
             return losses.l1_loss(out.image, target)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params())
-        # consume every gradient leaf: returning only the loss lets XLA
-        # dead-code-eliminate the entire backward pass (and 0.0*x can be
-        # algebraically folded — the epsilon weight cannot)
+        # consume every gradient leaf or XLA DCEs the whole backward
         return loss + 1e-30 * grads_sum(grads)
 
-    dt = max(timed_chain(lambda i, prev: fwd_bwd(state, i, prev)) - rtt, 1e-6)
+    return max(timed_chain(lambda i, prev: fwd_bwd(state, i, prev),
+                           iters=iters) - rtt, 1e-6)
+
+
+def grown_cfg(state, cam, cfg, n):
+    """Grow the pair budget until nothing is truncated (honest timing)."""
+    from gs_tpu.renderer import render
+
+    @jax.jit
+    def probe(state):
+        return render(cam, state, active_sh_degree=3, bg_color=jnp.zeros(3),
+                      cfg=cfg).num_pairs
+
+    num_pairs = int(probe(state))
+    return dataclasses.replace(
+        cfg, pair_budget_factor=1.05 * num_pairs / n), num_pairs
+
+
+def main():
+    from gs_tpu.config import OptimizationParams, RasterizeConfig
+    from gs_tpu.models import densify, optim
+    from gs_tpu.renderer import render
+    from gs_tpu.training import train_step
+    from gs_tpu.utils import losses
+
+    platform = jax.devices()[0].platform
+    state, cam = make_scene(N_GAUSS, heavy=False)
+    target = jnp.zeros((3, H, W), jnp.float32)
+    # start with a deliberately small pair budget and grow to fit: every
+    # [pair-buffer]-proportional stage (sort, gather, backward scatter)
+    # costs by the STATIC budget, so an oversized factor quietly taxes the
+    # whole pipeline (the trainer uses the same grow-on-overflow contract)
+    cfg = RasterizeConfig(backend=BACKEND, chunk=CHUNK, tile_w=TILE_W,
+                          tile_h=TILE_H, pair_budget_factor=1.0)
+    cfg, num_pairs = grown_cfg(state, cam, cfg, N_GAUSS)
+
+    tiny = jax.jit(lambda i, prev: prev * 0.5 + i)
+    rtt = timed_chain(lambda i, prev: tiny(i, prev), iters=20)
+
+    dt = bench_fwd_bwd(state, cam, cfg, target, rtt)
     pix_per_s = H * W / dt
 
     # forward-only render (the reference headline's own shape)
@@ -144,9 +173,7 @@ def main():
     dt_fwd = max(timed_chain(lambda i, prev: fwd_only(state, i, prev)) - rtt,
                  1e-6)
 
-    # the real training step (SSIM + Adam + densify stats); chained through
-    # a scalar folded into bg, params held fixed so every iteration does
-    # identical work
+    # the real training step (SSIM + Adam + densify stats)
     opt_cfg = OptimizationParams()
     adam = optim.init(state.params())
     stats = densify.DensifyStats.zeros(state.capacity)
@@ -164,7 +191,7 @@ def main():
 
     dt_train = max(timed_chain(full_step) - rtt, 1e-6)
 
-    print(json.dumps({
+    result = {
         "metric": f"fwd+bwd pixels/s @1080p ({N_GAUSS} gaussians, {platform})",
         "value": round(pix_per_s, 1),
         "unit": "pixels/s",
@@ -175,7 +202,23 @@ def main():
         "num_pairs": num_pairs,
         "pair_budget_factor": cfg.pair_budget_factor,
         "tunnel_rtt_ms": round(rtt * 1e3, 2),
-    }))
+    }
+
+    if RUN_HEAVY:
+        hstate, hcam = make_scene(N_HEAVY, heavy=True)
+        hcfg = RasterizeConfig(backend=BACKEND, chunk=CHUNK, tile_w=TILE_W,
+                               tile_h=TILE_H, pair_budget_factor=1.0)
+        hcfg, h_pairs = grown_cfg(hstate, hcam, hcfg, N_HEAVY)
+        dt_h = bench_fwd_bwd(hstate, hcam, hcfg, target, rtt, iters=5)
+        result.update({
+            "heavy_pix_per_s": round(H * W / dt_h, 1),
+            "heavy_fwd_bwd_ms": round(dt_h * 1e3, 2),
+            "heavy_num_pairs": h_pairs,
+            "heavy_num_gaussians": N_HEAVY,
+            "heavy_pairs_per_gaussian": round(h_pairs / N_HEAVY, 2),
+        })
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

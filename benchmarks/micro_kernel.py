@@ -110,9 +110,9 @@ def main():
             ab = binning.bin_gaussians_aligned(
                 means2d, depths, projection.bin_radii(radii, opac),
                 tiles_x, tiles_y, tw, th, budget, chunk)
-            attr_ds = jnp.concatenate(
-                [attr[ab.depth_order], jnp.zeros((1, ATTR_W), jnp.float32)])
-            sp_attr = attr_ds[ab.pair_slot]
+            attr_pad = jnp.concatenate(
+                [attr, jnp.zeros((1, ATTR_W), jnp.float32)])
+            sp_attr = attr_pad[ab.pair_gauss]
             tile_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
             ends = effective_ends(st, sp_attr, tile_ids, ab.starts, ab.ends)
             return sp_attr, tile_ids, ab.starts, ends

@@ -99,14 +99,14 @@ def main():
     # --- stage: binning incl. attr payload ----------------------------------
     @jax.jit
     def stage_bin(means2d, conics, colors, opac, depths, radii):
-        attr = pack_attributes(means2d, conics, colors, opac)
         return binning.bin_gaussians_aligned(
             means2d, depths, projection.bin_radii(radii, opac), tiles_x,
-            tiles_y, TILE_W, TILE_H, pair_budget, CHUNK, sort_payload=attr)
+            tiles_y, TILE_W, TILE_H, pair_budget, CHUNK)
 
     t = timeit(stage_bin, means2d, conics, colors, opac, depths, radii)
-    print(f"binning (payload):    {t*1e3:8.2f} ms")
+    print(f"binning:              {t*1e3:8.2f} ms")
     ab = jax.jit(stage_bin)(means2d, conics, colors, opac, depths, radii)
+    attr_full = pack_attributes(means2d, conics, colors, opac)
 
     st = CompositeStatic(tiles_x=tiles_x, tiles_y=tiles_y, tile_w=TILE_W,
                          tile_h=TILE_H, chunk=CHUNK, tile_batch=256,
@@ -114,16 +114,16 @@ def main():
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
 
     @jax.jit
-    def stage_pairs(ab):
-        attr_ds = jnp.concatenate(
-            [ab.payload_ds, jnp.zeros((1, ATTR_W), jnp.float32)])
-        sp_attr = attr_ds[ab.pair_slot]
+    def stage_pairs(ab, attr):
+        attr_pad = jnp.concatenate(
+            [attr, jnp.zeros((1, ATTR_W), jnp.float32)])
+        sp_attr = attr_pad[ab.pair_gauss]
         ends = effective_ends(st, sp_attr, tile_ids, ab.starts, ab.ends)
         return sp_attr, ends
 
-    t = timeit(stage_pairs, ab)
+    t = timeit(stage_pairs, ab, attr_full)
     print(f"gather+trunc:         {t*1e3:8.2f} ms")
-    sp_attr, ends = jax.jit(stage_pairs)(ab)
+    sp_attr, ends = jax.jit(stage_pairs)(ab, attr_full)
     print(f"  truncated pairs: {int(jnp.sum(ends - ab.starts))} "
           f"of {int(jnp.sum(ab.ends - ab.starts))} aligned slots")
 

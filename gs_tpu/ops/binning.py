@@ -73,24 +73,26 @@ class TileBinning(NamedTuple):
 class AlignedBinningOut(NamedTuple):
     """Direct chunk-aligned binning result (single-sort fast path).
 
-    ``pair_gauss`` indexes the original Gaussian arrays; ``valid`` is False
-    for per-tile alignment padding and unused tail slots. Tile t owns slots
-    [starts[t], ends[t]) — a multiple of ``align`` long, depth-ordered.
+    ``pair_gauss`` indexes the original Gaussian arrays; padding / unused
+    slots carry index N so one zero NULL row appended to the attribute
+    table makes them inert with no mask pass (``valid`` is their mask).
+    Tile t owns slots [starts[t], ends[t]) — a multiple of ``align`` long,
+    depth-ordered.
 
-    ``pair_slot`` indexes DEPTH-SORTED Gaussian order (pair_gauss ==
-    depth_order[pair_slot]); gathering attributes through
-    ``attr[depth_order][pair_slot]`` costs one cheap [N] gather instead of a
-    second [AB] random gather, so prefer it on the hot path and let XLA DCE
-    ``pair_gauss`` away. ``sort_payload``/``payload_ds`` let extra columns
-    ride the depth sort — forward-cheap, but NOTE: for *differentiable*
-    payloads the sort's VJP decomposes into one [N] scatter-add per column
-    (measured 1.75 ms each at N=262k), so carry only non-differentiated
-    data this way and keep gradient-carrying tables on the wide-gather
-    path.
+    ``pair_gauss`` is materialized by the delta-scatter expansion itself
+    (the scattered owner column carries depth_order VALUES, so its running
+    cumsum IS the original index) — callers gather attributes directly as
+    ``attr_pad[pair_gauss]``. Round-3 trace note: the previous two-level
+    ``attr[depth_order][pair_slot]`` indirection cost an extra [N,9] gather
+    + its VJP scatter (~5.9 ms at the bench shape) for nothing.
+    ``sort_payload``/``payload_ds`` let extra columns ride the depth sort —
+    forward-cheap, but NOTE: for *differentiable* payloads the sort's VJP
+    decomposes into one [N] scatter-add per column (measured 1.75 ms each
+    at N=262k), so carry only non-differentiated data this way and keep
+    gradient-carrying tables on the wide-gather path.
     """
 
-    pair_gauss: jnp.ndarray  # [AB] int32, original Gaussian index
-    pair_slot: jnp.ndarray  # [AB] int32, depth-order slot (0 for padding)
+    pair_gauss: jnp.ndarray  # [AB] int32, original index (N = null row)
     depth_order: jnp.ndarray  # [N] int32
     valid: jnp.ndarray  # [AB] bool
     starts: jnp.ndarray  # [T] int32, multiples of align
@@ -228,16 +230,23 @@ def bin_gaussians_aligned(
     # caller can grow the budget and retrace
     fit = inc_cum <= pair_budget  # [N] prefix mask in depth order
 
-    # 2. per-tile pair counts via rect corner differences + 2D cumsum (O(N+T))
+    # 2. per-tile pair counts as ONE separable MXU contraction. The rect
+    #    membership factorizes: count[ty,tx] = sum_n rows[n,ty]*cols[n,tx]
+    #    with interval indicators, i.e. rows^T @ cols. The corner-difference
+    #    scatter + 2D-cumsum formulation this replaces serialized 4x N
+    #    scatter-adds into a ~1.4k-cell grid — 7.6 ms at N=262k (round-3
+    #    trace); the matmul is ~0.1 ms. Exact: 0/1 indicators are exact in
+    #    bf16 and the f32 accumulation is integer-exact below 2^24.
     ey1 = sy0 + jnp.where(fit, h, 0)
     ex1 = sx0 + jnp.where(fit, w, 0)
-    grid = jnp.zeros((tiles_y + 1, tiles_x_c + 1), jnp.int32)
-    ones = jnp.ones((n,), jnp.int32)
-    grid = grid.at[sy0, sx0].add(ones).at[sy0, ex1].add(-ones)
-    grid = grid.at[ey1, sx0].add(-ones).at[ey1, ex1].add(ones)
-    tile_counts = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)[
-        :tiles_y, :tiles_x_c
-    ].reshape(-1)  # [T]
+    ty = jnp.arange(tiles_y, dtype=jnp.int32)
+    tx = jnp.arange(tiles_x_c, dtype=jnp.int32)
+    rows = ((sy0[:, None] <= ty) & (ty < ey1[:, None])).astype(jnp.bfloat16)
+    cols = ((sx0[:, None] <= tx) & (tx < ex1[:, None])).astype(jnp.bfloat16)
+    tile_counts = jax.lax.dot_general(
+        rows, cols, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32).reshape(-1)  # [T]
 
     acnt = -(-tile_counts // align) * align
     astarts = (jnp.cumsum(acnt) - acnt).astype(jnp.int32)
@@ -254,13 +263,15 @@ def bin_gaussians_aligned(
     slot = jnp.arange(pair_budget, dtype=jnp.int32)
     # pack the five owner fields into THREE int32 columns (scatter-add cost
     # is per row x column; integer packing is delta/cumsum-exact):
-    #   colA = pair offset, colB = owner index (both unbounded),
+    #   colA = pair offset, colB = the owner's ORIGINAL index (depth_order
+    #   value — its cumsum is directly the gatherable Gaussian index, no
+    #   depth_order[...] re-gather needed),
     #   colC = x0*2^18 + y0*2^9 + max(w,1)  (each field < 512 tiles)
     assert tiles_x_c < (1 << 9) and tiles_y < (1 << 9), (
         "pack width: widen colC fields for >512-tile grids")
     w1 = jnp.maximum(w, 1)
     vals = jnp.stack(
-        [offsets, jnp.arange(n, dtype=jnp.int32),
+        [offsets, depth_order,
          (sx0 << 18) + (sy0 << 9) + w1],
         axis=1,
     )  # [N,3]
@@ -276,7 +287,7 @@ def bin_gaussians_aligned(
     ]
     # per-slot owner fields via layout-friendly per-column scans
     ex_off, ex_idx, ex_c = _cumsum_cols(bufs)
-    owner = jnp.clip(ex_idx, 0, max(n - 1, 0)).astype(jnp.int32)
+    orig = jnp.clip(ex_idx, 0, max(n - 1, 0)).astype(jnp.int32)
     local = slot - ex_off
     ex_w = ex_c & 0x1FF
     total_fit = jnp.max(jnp.where(fit, inc_cum, 0))
@@ -299,22 +310,20 @@ def bin_gaussians_aligned(
 
     # 5. ONE stable sort of keys+payload -> final aligned layout
     keys = jnp.concatenate([real_key, dummy_key]).astype(jnp.int32)
-    payload = jnp.concatenate([owner, jnp.full((p_max,), -1, jnp.int32)])
+    payload = jnp.concatenate([orig, jnp.full((p_max,), -1, jnp.int32)])
     pad_to = ab - keys.shape[0]
     if pad_to > 0:
         keys = jnp.concatenate([keys, jnp.full((pad_to,), 2 * num_tiles + 2, jnp.int32)])
         payload = jnp.concatenate([payload, jnp.full((pad_to,), -1, jnp.int32)])
-    keys_sorted, owner_sorted = jax.lax.sort((keys, payload), num_keys=1,
-                                             is_stable=True)
+    keys_sorted, orig_sorted = jax.lax.sort((keys, payload), num_keys=1,
+                                            is_stable=True)
     is_real = (keys_sorted % 2 == 0) & (keys_sorted < 2 * num_tiles)
     # invalid slots point at the NULL row n: gathering through an attribute
     # table padded with one zero row makes padding pairs zero-opacity with
     # no separate mask multiply over the [AB, attrs] buffer
-    pair_slot = jnp.where(is_real, jnp.maximum(owner_sorted, 0), n)
-    pair_gauss = depth_order[jnp.minimum(pair_slot, max(n - 1, 0))]
+    pair_gauss = jnp.where(is_real, jnp.maximum(orig_sorted, 0), n)
     return AlignedBinningOut(
-        pair_gauss=jnp.where(is_real, pair_gauss, 0),
-        pair_slot=pair_slot,
+        pair_gauss=pair_gauss,
         depth_order=depth_order,
         valid=is_real,
         starts=astarts,

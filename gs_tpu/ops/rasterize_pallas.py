@@ -48,9 +48,12 @@ ATTR_WP = 16
 # tile-grid kernels: chunks fetched per manual DMA superstep (bandwidth
 # amortization; compute stays gated at single-chunk granularity)
 DMA_SUBCHUNKS = int(os.environ.get("GS_TPU_PALLAS_DMA_CHUNKS", "4"))
-# "tile" = one grid step per tile w/ manual double-buffered DMA (default);
-# "chunk" = legacy one-grid-step-per-chunk kernels (A/B reference)
-KERNEL_MODE = os.environ.get("GS_TPU_PALLAS_KERNEL", "tile")
+# "chunk" = one grid step per chunk via BlockSpec pipelining (default —
+# measured compute-bound, the pipeline overhead is negligible);
+# "tile" = one grid step per tile w/ manual double-buffered DMA (A/B
+# candidate: whole-tile early exit, no visit tables, needs 128-aligned
+# binning)
+KERNEL_MODE = os.environ.get("GS_TPU_PALLAS_KERNEL", "chunk")
 
 
 def _interpret() -> bool:
@@ -273,7 +276,7 @@ def _fwd_tile_kernel(starts_ref, ends_ref, tid_ref, attr_hbm,
         # (minor dim 128-aligned: binning aligns starts to 128) and small
         # per-chunk transposes restore the [S, 9] compute layout in VMEM.
         return pltpu.make_async_copy(
-            attr_hbm.at[:, pl.ds(start + i * sup, sup)],
+            attr_hbm.at[:, pl.ds(pl.multiple_of(start + i * sup, 128), sup)],
             abuf.at[slot], sem.at[slot],
         )
 
@@ -428,7 +431,7 @@ def _bwd_tile_kernel(starts_ref, ends_ref, tid_ref, attr_hbm,
     def ldma(i):
         slot = jax.lax.rem(i, 2)
         return pltpu.make_async_copy(
-            attr_hbm.at[:, pl.ds(start + i * sup, sup)],
+            attr_hbm.at[:, pl.ds(pl.multiple_of(start + i * sup, 128), sup)],
             abuf.at[slot], lsem.at[slot],
         )
 
@@ -436,7 +439,7 @@ def _bwd_tile_kernel(starts_ref, ends_ref, tid_ref, attr_hbm,
         slot = jax.lax.rem(i, 2)
         return pltpu.make_async_copy(
             obuf.at[slot],
-            dattr_hbm.at[:, pl.ds(start + i * sup, sup)],
+            dattr_hbm.at[:, pl.ds(pl.multiple_of(start + i * sup, 128), sup)],
             ssem.at[slot],
         )
 
@@ -813,7 +816,37 @@ def composite_bwd_pallas(st, residuals, cotangents):
     m = tile_ids.shape[0]
 
     row, blk = _visit_tables(starts, ends, s, cap_chunks, reverse=True)
-    sp_attr_p = jnp.concatenate([sp_attr, jnp.zeros((s, ATTR_W), _F32)])
+    # Assign every UNCOVERED pair block (past a tile's ncon-trimmed end, or
+    # owned by no listed tile) to one of the dead grid steps: the kernel
+    # zeroes its output block unconditionally, so dead steps zero-fill
+    # exactly the blocks no live step writes. This replaces a post-kernel
+    # [B,9] mask pass + a [B,9] pad copy (2.8 ms at the bench shape) with a
+    # few [nchunks] vector ops. Counts match exactly: #dead steps =
+    # cap_chunks - sum(live chunks) = #uncovered blocks.
+    from gs_tpu.ops.binning import vec_cummax, vec_cumsum
+
+    nonempty = ends > starts
+    cbuf = jnp.full((cap_chunks + 1,), -1.0, jnp.float32).at[
+        jnp.where(nonempty, starts // s, cap_chunks)
+    ].max(jnp.arange(m, dtype=jnp.float32), mode="drop")
+    owner = vec_cummax(cbuf[:cap_chunks]).astype(jnp.int32)
+    owner_c = jnp.clip(owner, 0, max(m - 1, 0))
+    chunk_pos = jnp.arange(cap_chunks, dtype=jnp.int32) * s
+    covered = (owner >= 0) & nonempty[owner_c] & (chunk_pos < ends[owner_c])
+    unc = (~covered).astype(jnp.int32)
+    unc_rank = vec_cumsum(unc) - unc  # rank among uncovered blocks
+    total_live = cap_chunks - jnp.sum(unc)
+    # uncovered_blocks[r] = block index of the r-th uncovered block
+    ublk = jnp.zeros((cap_chunks + 1,), jnp.float32).at[
+        jnp.where(covered, cap_chunks, unc_rank)
+    ].max(jnp.arange(cap_chunks, dtype=jnp.float32), mode="drop")
+    j_idx = jnp.arange(cap_chunks, dtype=jnp.int32)
+    dead = j_idx >= total_live
+    blk = jnp.where(
+        dead,
+        ublk[jnp.where(dead, j_idx - total_live, 0)].astype(jnp.int32),
+        blk,
+    )
 
     # per-tile cotangents, padded with a dummy row for dead chunks
     gc = jnp.concatenate(
@@ -850,14 +883,8 @@ def composite_bwd_pallas(st, residuals, cotangents):
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b + s, ATTR_W), _F32),
+            jax.ShapeDtypeStruct((b, ATTR_W), _F32),
         ],
         interpret=_interpret(),
-    )(row, blk, tile_ids, sp_attr_p, gc, gt, tf, nc)[0]
-    # pair blocks not owned by any tile in the list (unused buffer tail; other
-    # devices' tiles in the sharded path) are never visited -> uninitialized;
-    # zero them so the downstream scatter-add sees no garbage
-    live_blk = jnp.where(row < m, blk, cap_chunks)
-    vis_blocks = jnp.zeros(cap_chunks + 1, bool).at[live_blk].set(True)[:cap_chunks]
-    rmask = jnp.repeat(vis_blocks, s)[:, None]
-    return (jnp.where(rmask, d_attr[:b], 0.0), None, None, None)
+    )(row, blk, tile_ids, sp_attr, gc, gt, tf, nc)[0]
+    return (d_attr, None, None, None)

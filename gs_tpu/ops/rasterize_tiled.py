@@ -594,16 +594,15 @@ def rasterize_tiled(
         binning_align(cfg.chunk, backend),
     )
 
-    # ONE packed gather per pair, through the depth-sorted attribute table
-    # + one zero NULL row: padding pairs index it (zero opacity), so no
-    # mask pass over [AB, attrs] is needed. Wide row gathers/scatters ARE
-    # the efficient movers for differentiable data (the gather's autodiff
-    # is one wide scatter-add): carrying attrs as sort payload was tried
-    # round 2 and its VJP decomposed into nine 1.75 ms [N] scatter-adds;
-    # a sort+segmented-tree backward cost 3.5x via 9->128 lane padding.
-    attr_ds = jnp.concatenate([attr[ab.depth_order],
-                               jnp.zeros((1, ATTR_W), _F32)])
-    sp_attr = attr_ds[ab.pair_slot]
+    # ONE packed gather per pair straight from the attribute table + one
+    # zero NULL row (padding pairs index it -> zero opacity, no mask pass
+    # over [AB, attrs]). Wide row gathers/scatters ARE the efficient movers
+    # for differentiable data (the gather's autodiff is one wide
+    # scatter-add): attrs as sort payload decomposed into nine 1.75 ms [N]
+    # scatter-adds in the VJP (round 2); an intermediate depth-sorted table
+    # cost an extra [N,9] gather + VJP scatter for nothing (round-3 trace).
+    attr_pad = jnp.concatenate([attr, jnp.zeros((1, ATTR_W), _F32)])
+    sp_attr = attr_pad[ab.pair_gauss]
 
     st = CompositeStatic(
         tiles_x=tiles_x,

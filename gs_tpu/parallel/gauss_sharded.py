@@ -18,11 +18,12 @@ SURVEY.md §2.4 rows 2-4 — the layout for N beyond one chip's memory:
     splat gradient, which then chains through its local projection to its
     local parameter shard. No explicit collective code in the backward.
 
-Factor bookkeeping: the loss is computed redundantly on every shard device
-from the reassembled image, so cotangents arrive x n_shard through the tile
-all_gather VJP; the splat psum_scatter performs the true over-devices sum.
-Dividing by n_shard recovers the exact single-device gradient (verified
-against the single-device train_step in tests/test_sharding.py).
+Factor bookkeeping: the photometric loss is BANDED — each shard device
+reduces only its H/n_shard row band of the reassembled image (+SSIM halo)
+and partial sums psum into the exact full-image loss — so every pixel's
+cotangent originates on exactly one device and the splat psum_scatter's
+over-devices sum IS the exact single-device gradient (verified against the
+single-device train_step in tests/test_sharding.py).
 
 Optional: ``visible_budget`` enables :func:`compact_visible` so only
 radii>0 splats (up to a fixed per-shard budget) are communicated; the step
@@ -174,6 +175,8 @@ def make_gauss_sharded_train_step(
         params = state.params()  # local shard's leaves
         offset0 = jnp.zeros((local_cap, 2), jnp.float32)
 
+        band_rows = -(-height // n_shard)
+
         def loss_fn(p, offset):
             s = state.with_params(p)
             packed, radii = _project_local(s, cam, active_sh_degree, offset)
@@ -185,21 +188,31 @@ def make_gauss_sharded_train_step(
             img, num_pairs = _render_from_gathered(
                 table, cam, bg, st, n_shard, pair_budget,
                 truncate=raster_cfg.truncate_tiles)
-            loss = losses.photometric_loss(img, cam.image, opt_cfg.lambda_dssim)
-            return loss, (radii, num_vis, num_pairs)
+            # banded loss (see parallel/sharded.py): each device reduces
+            # only its H/n_shard row band; local contributions psum OUTSIDE
+            # the grad (in-loss psum transposes to psum under
+            # check_vma=False and over-counts) into the exact full-image
+            # loss, so the per-device replicated loss cost drops with the
+            # shard count
+            me = jax.lax.axis_index(SHARD_AXIS)
+            l1_sum, ssim_sum = losses.banded_photometric_terms(
+                img, cam.image, me * band_rows, band_rows)
+            denom = 3.0 * height * width
+            contrib = ((1.0 - opt_cfg.lambda_dssim) * l1_sum
+                       - opt_cfg.lambda_dssim * ssim_sum) / denom
+            return contrib, (radii, num_vis, num_pairs)
 
-        (loss, (radii, num_vis, num_pairs)), (g_params, g_offset) = (
+        (contrib, (radii, num_vis, num_pairs)), (g_params, g_offset) = (
             jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                 params, offset0))
+        loss = jax.lax.psum(contrib, SHARD_AXIS) + opt_cfg.lambda_dssim
 
-        # the redundant per-device loss makes cotangents arrive x n_shard;
-        # the splat psum_scatter already summed over devices (see module
-        # docstring), so dividing by n_shard gives the exact gradient.
-        # Camera batch averages over data.
-        g_params = jax.lax.pmean(
-            jax.tree.map(lambda g: g / n_shard, g_params), DATA_AXIS
-        )
-        g_offset_cam = g_offset / n_shard
+        # with the banded loss each pixel's cotangent originates on exactly
+        # one device; the splat psum_scatter performs the over-devices sum,
+        # so the local shard's gradient is already exact. Camera batch
+        # averages over data.
+        g_params = jax.lax.pmean(g_params, DATA_AXIS)
+        g_offset_cam = g_offset
         loss = jax.lax.pmean(loss, DATA_AXIS)
 
         xyz_lr = schedules.expon_lr(

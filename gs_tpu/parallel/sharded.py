@@ -95,13 +95,13 @@ def composite_strip(st, means2d, depths, bin_radii_v, attr, n_shard, me,
         binning_align(st.chunk, st.backend),
         col_stride=n_shard, col_offset=me,
     )
-    # ONE packed gather per local pair through the depth-sorted attribute
-    # table + zero NULL row (padding pairs index it; no mask pass needed);
-    # see rasterize_tiled for why attrs do NOT ride the sort as payload
-    attr_ds = jnp.concatenate(
-        [attr[ab.depth_order], jnp.zeros((1, ATTR_W), jnp.float32)]
+    # ONE packed gather per local pair straight from the attribute table +
+    # zero NULL row (padding pairs index it; no mask pass needed); see
+    # rasterize_tiled for why attrs do NOT ride the sort as payload
+    attr_pad = jnp.concatenate(
+        [attr, jnp.zeros((1, ATTR_W), jnp.float32)]
     )
-    sp_attr = attr_ds[ab.pair_slot]
+    sp_attr = attr_pad[ab.pair_gauss]
 
     my_tiles, _ = local_to_global_tiles(st, n_shard, me)
     ends = ab.ends
@@ -205,6 +205,7 @@ def make_sharded_train_step(
         )
         params = state.params()
         offset0 = jnp.zeros((capacity, 2), jnp.float32)
+        band_rows = -(-height // n_shard)
 
         def loss_fn(p, offset):
             s = state.with_params(p)
@@ -212,26 +213,38 @@ def make_sharded_train_step(
                 s, cam, bg, st, raster_cfg, active_sh_degree, n_shard, pair_budget,
                 means2d_offset=offset,
             )
-            loss = losses.photometric_loss(img, cam.image, opt_cfg.lambda_dssim)
-            return loss, (radii, num_pairs)
+            # BANDED loss: each shard device reduces only its H/n_shard row
+            # band (+SSIM halo); the local contributions psum (OUTSIDE the
+            # grad: under check_vma=False the transpose of an in-loss psum
+            # is psum again, which over-counts cotangents n_shard-fold)
+            # into the exact full-image photometric loss. The previous
+            # full-image loss on every device was a fixed serial cost each
+            # added shard paid again (replicated-fraction shrink).
+            me = jax.lax.axis_index(SHARD_AXIS)
+            l1_sum, ssim_sum = losses.banded_photometric_terms(
+                img, cam.image, me * band_rows, band_rows)
+            denom = 3.0 * height * width
+            contrib = ((1.0 - opt_cfg.lambda_dssim) * l1_sum
+                       - opt_cfg.lambda_dssim * ssim_sum) / denom
+            return contrib, (radii, num_pairs)
 
-        (loss, (radii, num_pairs)), (g_params, g_offset) = jax.value_and_grad(
+        (contrib, (radii, num_pairs)), (g_params, g_offset) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(params, offset0)
+        loss = (jax.lax.psum(contrib, SHARD_AXIS)
+                + opt_cfg.lambda_dssim)  # + lambda*(1 - .) constant term
 
-        # reduce tile-shard contributions. NOTE the loss is computed
-        # redundantly on every shard device from the all_gathered image, so
-        # each tile's pixel cotangent arrives n_shard times through the
-        # all_gather VJP (psum_scatter of identical cotangents) — pmean, not
-        # psum, recovers the single-device gradient. Then average over the
-        # camera batch.
+        # reduce tile-shard contributions. With the banded loss each pixel's
+        # cotangent originates on exactly ONE device (its band owner), so
+        # the true gradient is the SUM over shard devices; then average over
+        # the camera batch.
         g_params = jax.lax.pmean(
-            jax.lax.pmean(g_params, SHARD_AXIS), DATA_AXIS
+            jax.lax.psum(g_params, SHARD_AXIS), DATA_AXIS
         )
         # per-camera screen-space gradient (reduced over tile shards only):
         # densify stats accumulate each camera's own gradient norm, like the
         # reference's per-iteration add_densification_stats
-        g_offset_cam = jax.lax.pmean(g_offset, SHARD_AXIS)
+        g_offset_cam = jax.lax.psum(g_offset, SHARD_AXIS)
         loss = jax.lax.pmean(loss, DATA_AXIS)
 
         xyz_lr = schedules.expon_lr(

@@ -89,3 +89,74 @@ def photometric_loss(
     return (1.0 - lambda_dssim) * l1_loss(pred, target) + lambda_dssim * (
         1.0 - ssim(pred, target)
     )
+
+
+def _depthwise_blur_rows_valid(img: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
+    """[C,H+2p,W] -> [C,H,W] blur: VALID rows (halo supplied), SAME cols."""
+    c = img.shape[0]
+    x = img[None]
+    kh = win.reshape(1, 1, -1, 1)
+    kw = win.reshape(1, 1, 1, -1)
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, (1, 1, win.size, 1), ("NCHW", "OIHW", "NCHW"))
+    pad = win.size // 2
+    x = jax.lax.conv_general_dilated(
+        x, jnp.tile(kh, (c, 1, 1, 1)), (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=dn, feature_group_count=c,
+    )
+    x = jax.lax.conv_general_dilated(
+        x, jnp.tile(kw, (c, 1, 1, 1)), (1, 1), [(0, 0), (pad, pad)],
+        dimension_numbers=dn, feature_group_count=c,
+    )
+    return x[0]
+
+
+def banded_photometric_terms(
+    pred: jnp.ndarray, target: jnp.ndarray, band_lo, band_rows: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Partial (L1 sum, SSIM-map sum) over ``band_rows`` image rows.
+
+    Exact row-partition of :func:`photometric_loss`'s reductions: summing
+    the returned terms over a disjoint cover of [0, H) and dividing by
+    C*H*W reproduces ``l1_loss`` / ``ssim`` (the SSIM window's SAME zero
+    padding is replicated by the manual halo, and band rows past H
+    contribute exactly zero). Built for sharded training: each device
+    reduces only H/D (+10 halo) rows instead of redundantly recomputing
+    the full-image SSIM on every shard device (SURVEY §2.4 scaling; the
+    full-image loss was a fixed serial cost every added shard paid again).
+
+    ``band_lo`` may be traced (a device-index-derived row offset);
+    ``band_rows`` must be static.
+    """
+    c, h, w = pred.shape
+    halo = SSIM_WINDOW // 2
+    pad_hi = halo + band_rows  # covers any band_lo <= h
+    pp = jnp.pad(pred, ((0, 0), (halo, pad_hi), (0, 0)))
+    tt = jnp.pad(target, ((0, 0), (halo, pad_hi), (0, 0)))
+    band_lo = jnp.asarray(band_lo, jnp.int32)
+    ps = jax.lax.dynamic_slice(
+        pp, (jnp.int32(0), band_lo, jnp.int32(0)),
+        (c, band_rows + 2 * halo, w))
+    ts = jax.lax.dynamic_slice(
+        tt, (jnp.int32(0), band_lo, jnp.int32(0)),
+        (c, band_rows + 2 * halo, w))
+
+    interior = lambda x: x[:, halo:halo + band_rows]
+    # rows past the true image height are zero-zero pairs for L1 but give
+    # ssim_map == 1 (0/0 regularized by C1*C2) — mask them out of the sum
+    row_valid = (band_lo + jnp.arange(band_rows) < h)[None, :, None]
+    l1_sum = jnp.sum(jnp.abs(interior(ps) - interior(ts)))
+
+    win = jnp.asarray(_gaussian_window(SSIM_WINDOW, SSIM_SIGMA), jnp.float32)
+    stacked = jnp.concatenate([ps, ts, ps * ps, ts * ts, ps * ts], axis=0)
+    blurred = _depthwise_blur_rows_valid(stacked, win)
+    mu1, mu2 = blurred[:c], blurred[c:2 * c]
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = blurred[2 * c:3 * c] - mu1_sq
+    sigma2_sq = blurred[3 * c:4 * c] - mu2_sq
+    sigma12 = blurred[4 * c:] - mu1_mu2
+    ssim_map = ((2.0 * mu1_mu2 + SSIM_C1) * (2.0 * sigma12 + SSIM_C2)) / (
+        (mu1_sq + mu2_sq + SSIM_C1) * (sigma1_sq + sigma2_sq + SSIM_C2)
+    )
+    ssim_sum = jnp.sum(jnp.where(row_valid, ssim_map, 0.0))
+    return l1_sum, ssim_sum

@@ -117,3 +117,26 @@ class TestKNN:
         expected = np.sort(d2, axis=1)[:, :3].mean(1)
         got = np.asarray(knn.mean_knn_sq_dist(jnp.asarray(pts), k=3, chunk=64))
         np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+class TestBandedLoss:
+    def test_band_partition_reproduces_full_loss(self):
+        from gs_tpu.utils import losses
+
+        rng = np.random.default_rng(0)
+        h, w = 61, 47  # odd, non-multiple of the band count
+        a = jnp.asarray(rng.uniform(0, 1, (3, h, w)).astype(np.float32))
+        b = jnp.asarray(rng.uniform(0, 1, (3, h, w)).astype(np.float32))
+        full_l1 = float(losses.l1_loss(a, b))
+        full_ssim = float(losses.ssim(a, b))
+        for n_bands in (1, 2, 4, 8):
+            band_rows = -(-h // n_bands)
+            l1s = ssims = 0.0
+            for i in range(n_bands):
+                l1_sum, ssim_sum = losses.banded_photometric_terms(
+                    a, b, i * band_rows, band_rows)
+                l1s += float(l1_sum)
+                ssims += float(ssim_sum)
+            denom = 3 * h * w
+            np.testing.assert_allclose(l1s / denom, full_l1, rtol=1e-6)
+            np.testing.assert_allclose(ssims / denom, full_ssim, rtol=1e-6)

@@ -223,9 +223,8 @@ class TestTruncation:
             means2d, depths, bin_radii(radii, opac), 2, 2, 16, 16,
             1 << 12, 32)
         attr = pack_attributes(means2d, conics, colors, opac)
-        attr_ds = jnp.concatenate([attr[ab.depth_order],
-                                   jnp.zeros((1, 9), jnp.float32)])
-        sp = attr_ds[ab.pair_slot]
+        attr_pad = jnp.concatenate([attr, jnp.zeros((1, 9), jnp.float32)])
+        sp = attr_pad[ab.pair_gauss]
         ends_eff = effective_ends(st, sp, jnp.arange(4, dtype=jnp.int32),
                                   ab.starts, ab.ends)
         assert bool(jnp.all(ends_eff >= ab.starts))
