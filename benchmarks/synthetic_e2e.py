@@ -8,6 +8,12 @@ pipeline semantics (SURVEY.md §3.1) — render, loss, backward, Adam,
 densification, opacity reset — under realistic optimization dynamics.
 
 Usage: python benchmarks/synthetic_e2e.py [--iters 2000] [--res 256]
+
+``--mesh D`` runs the SAME recovery through the multi-device trainer on a
+virtual D-device CPU mesh (``--layout gauss`` shards params+Adam+stats with
+densify/rebalance active; ``--layout tile`` shards image tiles) — the
+multi-device quality gate: its PSNR must match the single-device run within
+a few tenths of a dB (recorded runs in benchmarks/RESULTS.md).
 """
 
 from __future__ import annotations
@@ -72,34 +78,32 @@ def make_gt_scene(n: int, seed: int = 0):
     return state
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=2000)
-    ap.add_argument("--res", type=int, default=256)
-    ap.add_argument("--gt_gaussians", type=int, default=4096)
-    ap.add_argument("--init_points", type=int, default=2048)
-    ap.add_argument("--views", type=int, default=64)
-    ap.add_argument("--backend", type=str, default="auto")
-    args = ap.parse_args()
+def recover(iters=2000, res=256, gt_gaussians=4096, init_points=2048,
+            views=64, backend="auto", parallel=None, verbose=True):
+    """Train a fresh model against GT renders; return (mean PSNR, final state).
 
+    ``parallel``: optional ParallelConfig — routes through the multi-device
+    trainer (the caller is responsible for the device mesh existing).
+    """
     from gs_tpu.config import OptimizationParams, PipelineParams, RasterizeConfig
     from gs_tpu.models import gaussians
     from gs_tpu.training import eval_render, run_training
     from gs_tpu.utils import metrics as metrics_mod
 
-    raster_cfg = RasterizeConfig(backend=args.backend)
-    gt_state = make_gt_scene(args.gt_gaussians)
+    raster_cfg = RasterizeConfig(backend=backend)
+    gt_state = make_gt_scene(gt_gaussians)
     bg = jnp.zeros(3)
 
     # ground-truth renders from orbiting cameras; every 8th is a test view
     # (the reference's llffhold split, dataset_readers.py:191)
     rng = np.random.default_rng(1)
     cams = []
-    for i in range(args.views):
-        theta = 2 * math.pi * i / args.views + rng.uniform(0, 0.05)
+    for i in range(views):
+        theta = 2 * math.pi * i / views + rng.uniform(0, 0.05)
         phi = rng.uniform(-0.9, 0.9)
-        cams.append(orbit_camera(theta, phi, 3.5, args.res))
-    print(f"rendering {args.views} GT views at {args.res}^2 ...", flush=True)
+        cams.append(orbit_camera(theta, phi, 3.5, res))
+    if verbose:
+        print(f"rendering {views} GT views at {res}^2 ...", flush=True)
     gt_cams = []
     for c in cams:
         img = eval_render(gt_state, c, bg, active_sh_degree=0,
@@ -109,11 +113,11 @@ def main():
     test_cams = [c for i, c in enumerate(gt_cams) if i % 8 == 0]
 
     # fresh model from a noisy subsample of GT positions (SfM-like init)
-    idx = rng.choice(args.gt_gaussians, args.init_points, replace=False)
+    idx = rng.choice(gt_gaussians, init_points, replace=False)
     pts = np.asarray(gt_state.xyz)[idx] + rng.normal(
-        scale=0.03, size=(args.init_points, 3)
+        scale=0.03, size=(init_points, 3)
     ).astype(np.float32)
-    cols = rng.uniform(0.2, 0.8, size=(args.init_points, 3)).astype(np.float32)
+    cols = rng.uniform(0.2, 0.8, size=(init_points, 3)).astype(np.float32)
     model = gaussians.create_from_pcd(pts, cols, max_sh_degree=0)
 
     class SyntheticScene:
@@ -131,26 +135,25 @@ def main():
             pass
 
     opt = OptimizationParams(
-        iterations=args.iters,
+        iterations=iters,
         densify_from_iter=200,
         densification_interval=100,
-        densify_until_iter=int(args.iters * 0.7),
+        densify_until_iter=int(iters * 0.7),
         opacity_reset_interval=1200,
-        position_lr_max_steps=args.iters,
+        position_lr_max_steps=iters,
     )
 
     t0 = time.time()
-    last = {"it": 0}
 
     def progress(it, m):
-        last["it"] = it
-        if it % 200 == 0:
+        if verbose and it % 200 == 0:
             print(f"[{it:5d}] loss {m['ema_loss']:.4f} "
                   f"({m.get('pix_per_s', 0)/1e6:.2f} Mpx/s)", flush=True)
 
     ts = run_training(
         SyntheticScene(), opt, PipelineParams(), raster_cfg=raster_cfg,
         test_iterations=(), save_iterations=(), progress=progress,
+        parallel=parallel,
     )
     train_s = time.time() - t0
 
@@ -159,14 +162,52 @@ def main():
         img = eval_render(ts.state, c, bg, active_sh_degree=0,
                           raster_cfg=raster_cfg)
         psnrs.append(float(metrics_mod.psnr(img, c.image)[0, 0]))
-    print(
-        f"\nsynthetic e2e: {args.iters} iters in {train_s:.0f}s "
-        f"({args.iters / train_s:.1f} it/s), "
-        f"alive {int(ts.state.num_alive)} gaussians\n"
-        f"test PSNR: mean {np.mean(psnrs):.2f} dB  min {np.min(psnrs):.2f}  "
-        f"max {np.max(psnrs):.2f}"
+    if verbose:
+        print(
+            f"\nsynthetic e2e: {iters} iters in {train_s:.0f}s "
+            f"({iters / train_s:.1f} it/s), "
+            f"alive {int(ts.state.num_alive)} gaussians\n"
+            f"test PSNR: mean {np.mean(psnrs):.2f} dB  "
+            f"min {np.min(psnrs):.2f}  max {np.max(psnrs):.2f}"
+        )
+    return float(np.mean(psnrs)), ts.state
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=2000)
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--gt_gaussians", type=int, default=4096)
+    ap.add_argument("--init_points", type=int, default=2048)
+    ap.add_argument("--views", type=int, default=64)
+    ap.add_argument("--backend", type=str, default="auto")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard devices on a virtual CPU mesh (0 = off)")
+    ap.add_argument("--layout", type=str, default="gauss",
+                    choices=("tile", "gauss"))
+    ap.add_argument("--data_parallel", type=int, default=1)
+    args = ap.parse_args()
+
+    if args.mesh:
+        # must precede any backend-initializing jax call (the axon
+        # sitecustomize registration wins over env vars on this box)
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.mesh * args.data_parallel)
+
+    from gs_tpu.config import ParallelConfig
+
+    parallel = None
+    if args.mesh:
+        parallel = ParallelConfig(
+            data_parallel=args.data_parallel, shard_parallel=args.mesh,
+            layout=args.layout,
+        )
+    psnr, _ = recover(
+        iters=args.iters, res=args.res, gt_gaussians=args.gt_gaussians,
+        init_points=args.init_points, views=args.views, backend=args.backend,
+        parallel=parallel,
     )
-    return float(np.mean(psnrs))
+    return psnr
 
 
 if __name__ == "__main__":

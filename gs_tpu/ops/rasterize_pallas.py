@@ -84,23 +84,9 @@ def _cumprod_incl(x):
     return x
 
 
-def _cumsum_excl(x):
-    """Exclusive cumsum along axis 0."""
-    x = _shift_down(x, 1, 0.0)
-    s, k = x.shape[0], 1
-    while k < s:
-        x = x + _shift_down(x, k, 0.0)
-        k *= 2
-    return x
-
-
-def _suffix_prod_incl(x):
-    """Inclusive suffix product along axis 0: out[i] = prod_{j>=i} x[j]."""
-    s, k = x.shape[0], 1
-    while k < s:
-        x = x * _shift_up(x, k, 1.0)
-        k *= 2
-    return x
+def _cumprod_excl(x):
+    """Exclusive cumprod along axis 0: out[i] = prod_{j<i} x[j]."""
+    return _cumprod_incl(_shift_down(x, 1, 1.0))
 
 
 def _suffix_sum_strict(x):
@@ -129,6 +115,101 @@ def _chunk_alpha(attr, px, py):
     alpha = jnp.minimum(ALPHA_MAX, attr[:, 8:9] * g_exp)
     return alpha, power, dx, dy, g_exp
 
+
+
+def _fwd_chunk_math(attr, px, py, t_in, died_in):
+    """Shared forward-chunk compositing algebra (math of _forward_chunk).
+
+    Pass-count-tuned (round 3): the per-pixel "died strictly before splat i"
+    test is restated via the FIRST-stop row index (one masked min-reduce)
+    instead of an exclusive [S,P] cumsum over stop flags (7 log-step
+    passes), and the stop test reuses the inclusive cumprod directly
+    (t_after = t_in * cp == t_before * (1-alpha) inside ``incl``). Output
+    is identical: only rows at/after the first stop (or pixels dead on
+    entry) are excluded, exactly as the cumsum formulation.
+
+    Returns (w [S,P] blend weights, contrib mask, chunk_prod [1,P],
+    t_stop [1,P], died_now [1,P], riota [S,P] row iota for pos bookkeeping).
+    """
+    s = attr.shape[0]
+    alpha, power, _, _, _ = _chunk_alpha(attr, px, py)
+    incl = (alpha >= ALPHA_SKIP) & (power <= 0.0)
+    omb = jnp.where(incl, 1.0 - alpha, 1.0)
+    cp = _cumprod_incl(omb)
+    t_after = t_in * cp
+    t_before = t_in * _shift_down(cp, 1, 1.0)
+    stop = incl & (t_after < T_EPS)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (s, p_ := alpha.shape[1]), 0)
+    fsp = jnp.min(jnp.where(stop, riota, s), axis=0, keepdims=True)
+    alive_in = died_in < 0.5
+    contrib = incl & ~stop & (riota <= fsp) & alive_in
+    w = jnp.where(contrib, alpha * t_before, 0.0)
+    # T after the chunk without a second cumprod: a stopping pixel ends at
+    # T BEFORE its first stop; otherwise T *= full chunk product. Pixels
+    # dead on entry keep their T (caller's outer select).
+    t_stop = jnp.max(jnp.where(stop & (riota == fsp), t_before, 0.0),
+                     axis=0, keepdims=True)
+    died_now = (fsp < s).astype(_F32)
+    return w, contrib, cp[s - 1:s], t_stop, died_now, riota
+
+
+def _bwd_chunk_math(attr, px, py, pos, ncon, gc, gt_term, trun, ssuf):
+    """Shared reverse-chunk gradient algebra (math of _backward_chunk).
+
+    Pass-count-tuned (round 3): the per-splat conic constants factor out of
+    the pixel reductions (sum_P (ca*dx+cb*dy)*d_power = ca*sum(dx*d_power) +
+    cb*sum(dy*d_power) since ca/cb are constant along P) — 5 multiply
+    passes + 5 reductions instead of ~16 passes; the [S,P] transmittance
+    division becomes a prefix-product multiply (one [1,P] division); factors
+    that are already zero skip their selects; g_exp*d_alpha is computed
+    once; the chunk's wb total reuses the suffix sum's first row. Bitwise
+    output differs only in rounding order; same derivation.
+
+    Returns ([7 gradient column blocks], new_trun [1,P], new_ssuf [1,P]).
+    """
+    s = attr.shape[0]
+    alpha, power, dx, dy, g_exp = _chunk_alpha(attr, px, py)
+    incl = (alpha >= ALPHA_SKIP) & (power <= 0.0)
+    contrib = incl & (pos < ncon)
+    omb = jnp.where(contrib, 1.0 - alpha, 1.0)
+
+    pe = _cumprod_excl(omb)  # prod_{j<i} omb[j]
+    chunk_prod = pe[s - 1:s] * omb[s - 1:s]
+    t_in = trun / chunk_prod  # [1,P] transmittance entering the chunk
+    t_before = t_in * pe
+    w = jnp.where(contrib, alpha * t_before, 0.0)
+
+    bdot = jax.lax.dot_general(
+        attr[:, 5:8], gc, (((1,), (0,)), ((), ())), precision=_HI,
+        preferred_element_type=_F32,
+    )  # [S,P]
+    wb = w * bdot  # w is already 0 where ~contrib
+    s_after = ssuf + _suffix_sum_strict(wb)
+    d_alpha = jnp.where(
+        contrib, t_before * bdot - (s_after + gt_term) / omb, 0.0)
+
+    ga = g_exp * d_alpha  # zeroed with d_alpha
+    sum1 = lambda x: jnp.sum(x, axis=1, keepdims=True)
+    d_opac = sum1(ga)
+    d_power = attr[:, 8:9] * ga
+    dxp = dx * d_power
+    dyp = dy * d_power
+    sx, sy = sum1(dxp), sum1(dyp)
+    d_rgb = jax.lax.dot_general(
+        w, gc, (((1,), (1,)), ((), ())), precision=_HI,
+        preferred_element_type=_F32,
+    )  # [S,P] x [3,P] -> [S,3]
+    grads = [
+        -(attr[:, 2:3] * sx + attr[:, 3:4] * sy),
+        -(attr[:, 4:5] * sy + attr[:, 3:4] * sx),
+        -0.5 * sum1(dx * dxp),
+        -sum1(dy * dxp),
+        -0.5 * sum1(dy * dyp),
+        d_rgb,
+        d_opac,
+    ]
+    new_ssuf = s_after[0:1] + wb[0:1]  # = ssuf + sum over the whole chunk
+    return grads, t_in, new_ssuf
 
 
 def _tile_basis(tile_w, tile_h, p):
@@ -303,43 +384,23 @@ def _fwd_tile_kernel(starts_ref, ends_ref, tid_ref, attr_hbm,
                 @pl.when((sub < end) & (jnp.min(died_ref[:]) < 0.5))
                 def _(ci=ci, sub=sub, slot=slot):
                     attr = abuf[slot, :, ci * s:(ci + 1) * s].T
-                    alpha, power, _, _, _ = _chunk_alpha(attr, px, py)
-                    incl = (alpha >= ALPHA_SKIP) & (power <= 0.0)
-                    omb = jnp.where(incl, 1.0 - alpha, 1.0)
-                    cp = _cumprod_incl(omb)
-                    t_before = t_ref[0] * _shift_down(cp, 1, 1.0)
-                    stop = incl & (t_before * (1.0 - alpha) < T_EPS)
-                    stop_f = stop.astype(_F32)
-                    died_before = died_ref[:] + _cumsum_excl(stop_f)
-                    contrib = incl & (died_before < 0.5) & ~stop
-                    w = jnp.where(contrib, alpha * t_before, 0.0)
+                    w, contrib, chunk_prod, t_stop, died_now, riota = \
+                        _fwd_chunk_math(attr, px, py, t_ref[0], died_ref[:])
                     color_ref[0] += jax.lax.dot_general(
                         attr[:, 5:8], w, (((0,), (0,)), ((), ())),
                         precision=_HI, preferred_element_type=_F32,
                     )
-                    # T after the chunk without a second cumprod: a pixel
-                    # that stops ends at T BEFORE its first stop (contrib
-                    # excludes j >= first stop, so prod(contrib omb) =
-                    # t_before[first stop] / t_in); otherwise every incl
-                    # row contributes, T *= cp[-1]. Previously-dead pixels
-                    # keep their T.
-                    first_stop = stop & (died_before < 0.5)
-                    t_stop = jnp.max(
-                        jnp.where(first_stop, t_before, 0.0), axis=0,
-                        keepdims=True)
-                    died_now = jnp.max(stop_f, axis=0, keepdims=True)
                     t_ref[0] = jnp.where(
                         died_ref[:] > 0.5, t_ref[0],
                         jnp.where(died_now > 0.5, t_stop,
-                                  t_ref[0] * cp[s - 1:s]))
-                    pos = sub + jax.lax.broadcasted_iota(jnp.int32, (s, p), 0)
+                                  t_ref[0] * chunk_prod))
+                    pos = sub + riota
                     ncon_ref[0] = jnp.maximum(
                         ncon_ref[0],
                         jnp.max(jnp.where(contrib, pos + 1, 0), axis=0,
                                 keepdims=True),
                     )
-                    died_ref[:] = jnp.maximum(
-                        died_ref[:], jnp.max(stop_f, axis=0, keepdims=True))
+                    died_ref[:] = jnp.maximum(died_ref[:], died_now)
 
             return i + 1, jnp.min(died_ref[:]) < 0.5
 
@@ -470,57 +531,16 @@ def _bwd_tile_kernel(starts_ref, ends_ref, tid_ref, attr_hbm,
                 @pl.when(sub < end)
                 def _(ci=ci, sub=sub, slot=slot):
                     attr = abuf[slot, :, ci * s:(ci + 1) * s].T
-                    alpha, power, dx, dy, g_exp = _chunk_alpha(attr, px, py)
                     pos = sub + jax.lax.broadcasted_iota(jnp.int32, (s, p), 0)
-                    incl = (alpha >= ALPHA_SKIP) & (power <= 0.0)
-                    contrib = incl & (pos < ncon_ref[0])
-                    omb = jnp.where(contrib, 1.0 - alpha, 1.0)
-
-                    omb_sufprod = _suffix_prod_incl(omb)
-                    t_before = trun_ref[:] / omb_sufprod
-                    w = jnp.where(contrib, alpha * t_before, 0.0)
-
-                    gc = gc_ref[0]  # [3,P]
-                    bdot = jax.lax.dot_general(
-                        attr[:, 5:8], gc, (((1,), (0,)), ((), ())),
-                        precision=_HI, preferred_element_type=_F32,
-                    )
-                    wb = jnp.where(contrib, w * bdot, 0.0)
-                    s_after = ssuf_ref[:] + _suffix_sum_strict(wb)
-                    d_alpha = jnp.where(
-                        contrib,
-                        t_before * bdot - (s_after + gt_ref[0]) / omb,
-                        0.0,
-                    )
-
-                    d_opac = jnp.sum(
-                        jnp.where(contrib, g_exp * d_alpha, 0.0), axis=1,
-                        keepdims=True)
-                    d_power = jnp.where(
-                        contrib, attr[:, 8:9] * g_exp * d_alpha, 0.0)
-                    sum1 = lambda x: jnp.sum(x, axis=1, keepdims=True)
-                    d_rgb = jax.lax.dot_general(
-                        w, gc, (((1,), (1,)), ((), ())), precision=_HI,
-                        preferred_element_type=_F32,
-                    )
+                    grads, new_trun, new_ssuf = _bwd_chunk_math(
+                        attr, px, py, pos, ncon_ref[0], gc_ref[0], gt_ref[0],
+                        trun_ref[:], ssuf_ref[:])
                     obuf[slot, :, ci * s:(ci + 1) * s] = jnp.concatenate(
-                        [
-                            sum1(-(attr[:, 2:3] * dx + attr[:, 3:4] * dy)
-                                 * d_power),
-                            sum1(-(attr[:, 4:5] * dy + attr[:, 3:4] * dx)
-                                 * d_power),
-                            sum1(-0.5 * dx * dx * d_power),
-                            sum1(-dx * dy * d_power),
-                            sum1(-0.5 * dy * dy * d_power),
-                            d_rgb,
-                            d_opac,
-                        ] + [jnp.zeros((s, ATTR_WP - 9), _F32)],
+                        grads + [jnp.zeros((s, ATTR_WP - 9), _F32)],
                         axis=1,
                     ).T
-
-                    trun_ref[:] = trun_ref[:] / omb_sufprod[0:1]
-                    ssuf_ref[:] = ssuf_ref[:] + jnp.sum(wb, axis=0,
-                                                        keepdims=True)
+                    trun_ref[:] = new_trun
+                    ssuf_ref[:] = new_ssuf
 
             sdma(i).start()
             return 0
@@ -628,36 +648,20 @@ def _fwd_kernel(row_ref, blk_ref, tid_ref, attr_ref,
     def _():
         tid = tid_ref[jnp.minimum(row, m - 1)]
         px, py = _pixel_coords(tid, st.tiles_x, st.tile_w, st.tile_h, p)
-        attr = attr_ref[:]
-        alpha, power, _, _, _ = _chunk_alpha(attr, px, py)
-        incl = (alpha >= ALPHA_SKIP) & (power <= 0.0)
-        omb = jnp.where(incl, 1.0 - alpha, 1.0)
-        # exclusive cumprod = shifted inclusive (no [S,P] division)
-        cp = _cumprod_incl(omb)
-        t_before = t_ref[0] * _shift_down(cp, 1, 1.0)
-        stop = incl & (t_before * (1.0 - alpha) < T_EPS)
-        stop_f = stop.astype(_F32)
-        died_before = died_ref[:] + _cumsum_excl(stop_f)
-        contrib = incl & (died_before < 0.5) & ~stop
-
-        w = jnp.where(contrib, alpha * t_before, 0.0)
+        w, contrib, chunk_prod, t_stop, died_now, riota = _fwd_chunk_math(
+            attr_ref[:], px, py, t_ref[0], died_ref[:])
         color_ref[0] += jax.lax.dot_general(
-            attr[:, 5:8], w, (((0,), (0,)), ((), ())), precision=_HI,
+            attr_ref[:, 5:8], w, (((0,), (0,)), ((), ())), precision=_HI,
             preferred_element_type=_F32,
         )
-        # T after the chunk, no second cumprod (see _fwd_tile_kernel note)
-        first_stop = stop & (died_before < 0.5)
-        t_stop = jnp.max(jnp.where(first_stop, t_before, 0.0), axis=0,
-                         keepdims=True)
-        died_now = jnp.max(stop_f, axis=0, keepdims=True)
         t_ref[0] = jnp.where(
             died_ref[:] > 0.5, t_ref[0],
-            jnp.where(died_now > 0.5, t_stop, t_ref[0] * cp[s - 1:s]))
-        pos = blk_ref[j] * s + jax.lax.broadcasted_iota(jnp.int32, (s, p), 0)
+            jnp.where(died_now > 0.5, t_stop, t_ref[0] * chunk_prod))
+        pos = blk_ref[j] * s + riota
         ncon_ref[0] = jnp.maximum(
             ncon_ref[0], jnp.max(jnp.where(contrib, pos + 1, 0), axis=0, keepdims=True)
         )
-        died_ref[:] = jnp.maximum(died_ref[:], jnp.max(stop_f, axis=0, keepdims=True))
+        died_ref[:] = jnp.maximum(died_ref[:], died_now)
 
 
 def composite_fwd_pallas(st, sp_attr, tile_ids, starts, ends):
@@ -745,61 +749,23 @@ def _bwd_kernel(row_ref, blk_ref, tid_ref, attr_ref,
     def _():
         tid = tid_ref[jnp.minimum(row, m - 1)]
         px, py = _pixel_coords(tid, st.tiles_x, st.tile_w, st.tile_h, p)
-        attr = attr_ref[:]
-        alpha, power, dx, dy, g_exp = _chunk_alpha(attr, px, py)
         pos = blk_ref[j] * s + jax.lax.broadcasted_iota(jnp.int32, (s, p), 0)
-        incl = (alpha >= ALPHA_SKIP) & (power <= 0.0)
-        contrib = incl & (pos < ncon_ref[0])
-        omb = jnp.where(contrib, 1.0 - alpha, 1.0)
-
-        omb_sufprod = _suffix_prod_incl(omb)
-        t_before = trun_ref[:] / omb_sufprod  # (1,P)/(S,P)
-        w = jnp.where(contrib, alpha * t_before, 0.0)
-
-        gc = gc_ref[0]  # [3,P]
-        bdot = jax.lax.dot_general(
-            attr[:, 5:8], gc, (((1,), (0,)), ((), ())), precision=_HI,
-            preferred_element_type=_F32,
-        )  # [S,P]
-        wb = jnp.where(contrib, w * bdot, 0.0)
-        s_after = ssuf_ref[:] + _suffix_sum_strict(wb)
-        d_alpha = jnp.where(
-            contrib,
-            t_before * bdot - (s_after + gt_ref[0]) / omb,
-            0.0,
-        )
-
-        d_opac = jnp.sum(
-            jnp.where(contrib, g_exp * d_alpha, 0.0), axis=1, keepdims=True
-        )
-        d_power = jnp.where(contrib, attr[:, 8:9] * g_exp * d_alpha, 0.0)
-        sum1 = lambda x: jnp.sum(x, axis=1, keepdims=True)
-        d_rgb = jax.lax.dot_general(
-            w, gc, (((1,), (1,)), ((), ())), precision=_HI,
-            preferred_element_type=_F32,
-        )  # [S,P] x [3,P] -> [S,3]
         # NOTE (round 3, measured): collapsing the five dx/dy reductions
         # into one [S,P]@[P,8] moment matmul over a tile-local monomial
         # basis is ~10% SLOWER at fp32-HIGHEST (bwd 31.3 -> 34.3 ms at the
         # bench shape) — Mosaic's cross-lane reductions are cheaper than a
         # 6-pass fp32-emulated MXU contraction with a 8->128 padded output.
-        # Keep the direct form; _moment_grads retained for reference.
+        # _moment_grads retained for reference; _bwd_chunk_math instead
+        # factors the per-splat constants out of the reductions directly.
+        grads, new_trun, new_ssuf = _bwd_chunk_math(
+            attr_ref[:], px, py, pos, ncon_ref[0], gc_ref[0], gt_ref[0],
+            trun_ref[:], ssuf_ref[:])
         dattr_ref[:] = jnp.concatenate(
-            [
-                sum1(-(attr[:, 2:3] * dx + attr[:, 3:4] * dy) * d_power),
-                sum1(-(attr[:, 4:5] * dy + attr[:, 3:4] * dx) * d_power),
-                sum1(-0.5 * dx * dx * d_power),
-                sum1(-dx * dy * d_power),
-                sum1(-0.5 * dy * dy * d_power),
-                d_rgb,
-                d_opac,
-            ] + ([jnp.zeros((s, ATTR_W - 9), _F32)] if ATTR_W > 9 else []),
+            grads + ([jnp.zeros((s, ATTR_W - 9), _F32)] if ATTR_W > 9 else []),
             axis=1,
         )
-
-        # full chunk product = first row of the inclusive suffix product
-        trun_ref[:] = trun_ref[:] / omb_sufprod[0:1]
-        ssuf_ref[:] = ssuf_ref[:] + jnp.sum(wb, axis=0, keepdims=True)
+        trun_ref[:] = new_trun
+        ssuf_ref[:] = new_ssuf
 
 
 def composite_bwd_pallas(st, residuals, cotangents):
