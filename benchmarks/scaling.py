@@ -87,6 +87,21 @@ def main():
             data=1, shard=n_shard, devices=jax.devices()[:n_shard]
         )
         step = make(mesh, opt_cfg, rcfg, h, w, st.capacity, 1)
+        # per-DEVICE compiled cost (SPMD executable): the falsifiable
+        # de-replication metric on this serial box — flops/device must DROP
+        # as the shard axis widens if per-device work is actually sharded
+        # (wall time here cannot show it: 8 virtual devices, 1 core)
+        try:
+            ca = (
+                jax.jit(step)
+                .lower(st, adam, stats, cam_batch, jnp.zeros(3), jnp.int32(0),
+                       jnp.float32(1.0), jnp.bool_(True))
+                .compile()
+                .cost_analysis()
+            )
+            flops, bytes_ = ca.get("flops", 0.0), ca.get("bytes accessed", 0.0)
+        except Exception:  # cost model availability varies by backend
+            flops = bytes_ = float("nan")
         out = step(st, adam, stats, cam_batch, jnp.zeros(3), jnp.int32(0),
                    jnp.float32(1.0), jnp.bool_(True))
         jax.block_until_ready(out)
@@ -96,11 +111,14 @@ def main():
                        jnp.float32(1.0), jnp.bool_(True))
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / args.iters
-        results.append((n_shard, dt))
+        results.append((n_shard, dt, flops, bytes_))
         base = results[0][1]
         speedup = base / dt
+        fl0 = results[0][2]
         print(f"shard={n_shard:2d}: {dt*1e3:8.2f} ms/step  "
-              f"speedup x{speedup:.2f}  efficiency {speedup/n_shard*100:5.1f}%",
+              f"speedup x{speedup:.2f}  efficiency {speedup/n_shard*100:5.1f}%  "
+              f"flops/dev {flops/1e9:7.3f} G ({flops/fl0*100:5.1f}% of 1-dev)  "
+              f"bytes/dev {bytes_/1e6:7.1f} M",
               flush=True)
         n_shard *= 2
 

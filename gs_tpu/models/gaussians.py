@@ -129,6 +129,12 @@ def create_from_pcd(
         raise ValueError(f"capacity {cap} < point count {n}")
 
     pts = jnp.asarray(points, jnp.float32)
+    if n > 2_000_000:
+        print(
+            f"[gs_tpu] scale init: brute-force 3-NN over {n:,} points is "
+            "O(N^2) on the MXU (one-shot at init; ~minutes beyond ~5M points)",
+            flush=True,
+        )
     dist2 = jnp.clip(knn.mean_knn_sq_dist(pts, k=3), 1e-7)  # gaussian_model.py:153
     log_scales = jnp.log(jnp.sqrt(dist2))[:, None].repeat(3, axis=1)
     f_dc = sh.rgb_to_sh(jnp.asarray(colors, jnp.float32))[:, None, :]  # [N,1,3]
