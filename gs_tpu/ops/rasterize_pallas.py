@@ -54,6 +54,14 @@ DMA_SUBCHUNKS = int(os.environ.get("GS_TPU_PALLAS_DMA_CHUNKS", "4"))
 # candidate: whole-tile early exit, no visit tables, needs 128-aligned
 # binning)
 KERNEL_MODE = os.environ.get("GS_TPU_PALLAS_KERNEL", "chunk")
+# scan-to-MXU: restate the [S,P] depth scans (cumprod via log-domain
+# cumsum, the backward's strict suffix sum) as triangular-matrix matmuls.
+# Rationale: the kernels are VPU-pass-bound and the v5e VPU has ~1/10th an
+# A6000's elementwise fp32 throughput, while the MXU sits idle between the
+# color dots — each log-step scan burns ~12 [S,P] passes that one
+# [S,S]@[S,P] contraction replaces. exp/log round-trip error ~1e-6,
+# far inside the 1e-3/2e-3 parity tolerances.
+SCAN_MXU = os.environ.get("GS_TPU_SCAN_MXU", "0") == "1"
 
 
 def _interpret() -> bool:
@@ -91,12 +99,50 @@ def _cumprod_excl(x):
 
 def _suffix_sum_strict(x):
     """Strict suffix sum along axis 0: out[i] = sum_{j>i} x[j]."""
+    if SCAN_MXU:
+        return _tri_dot(x, lower=False, strict=True)
     x = _shift_up(x, 1, 0.0)
     s, k = x.shape[0], 1
     while k < s:
         x = x + _shift_up(x, k, 0.0)
         k *= 2
     return x
+
+
+def _tri_dot(x, *, lower, strict):
+    """Prefix/suffix sum of x [S,P] along axis 0 as one [S,S]@[S,P] matmul.
+
+    lower+strict=False -> inclusive cumsum; lower+strict -> exclusive;
+    upper+strict -> strict suffix sum. The 0/1 triangular constant is built
+    in-kernel from two iotas (4 tiny [S,S] vector ops, hoistable); HIGHEST
+    precision keeps the contraction fp32-faithful.
+    """
+    s = x.shape[0]
+    r = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    m = ((c < r) if strict else (c <= r)) if lower else \
+        ((c > r) if strict else (c >= r))
+    return jax.lax.dot_general(
+        m.astype(_F32), x, (((1,), (0,)), ((), ())), precision=_HI,
+        preferred_element_type=_F32,
+    )
+
+
+def _cumprod_incl_any(omb):
+    """Inclusive cumprod, log-domain MXU variant behind SCAN_MXU.
+
+    omb is in (0, 1] with masked rows exactly 1.0: log(1.0) == 0.0 exactly,
+    so masked prefixes stay exactly 1 through exp(sum 0) == 1.
+    """
+    if SCAN_MXU:
+        return jnp.exp(_tri_dot(jnp.log(omb), lower=True, strict=False))
+    return _cumprod_incl(omb)
+
+
+def _cumprod_excl_any(omb):
+    if SCAN_MXU:
+        return jnp.exp(_tri_dot(jnp.log(omb), lower=True, strict=True))
+    return _cumprod_excl(omb)
 
 
 def _chunk_alpha(attr, px, py):
@@ -135,7 +181,7 @@ def _fwd_chunk_math(attr, px, py, t_in, died_in):
     alpha, power, _, _, _ = _chunk_alpha(attr, px, py)
     incl = (alpha >= ALPHA_SKIP) & (power <= 0.0)
     omb = jnp.where(incl, 1.0 - alpha, 1.0)
-    cp = _cumprod_incl(omb)
+    cp = _cumprod_incl_any(omb)
     t_after = t_in * cp
     t_before = t_in * _shift_down(cp, 1, 1.0)
     stop = incl & (t_after < T_EPS)
@@ -173,7 +219,7 @@ def _bwd_chunk_math(attr, px, py, pos, ncon, gc, gt_term, trun, ssuf):
     contrib = incl & (pos < ncon)
     omb = jnp.where(contrib, 1.0 - alpha, 1.0)
 
-    pe = _cumprod_excl(omb)  # prod_{j<i} omb[j]
+    pe = _cumprod_excl_any(omb)  # prod_{j<i} omb[j]
     chunk_prod = pe[s - 1:s] * omb[s - 1:s]
     t_in = trun / chunk_prod  # [1,P] transmittance entering the chunk
     t_before = t_in * pe
