@@ -62,6 +62,15 @@ KERNEL_MODE = os.environ.get("GS_TPU_PALLAS_KERNEL", "chunk")
 # [S,S]@[S,P] contraction replaces. exp/log round-trip error ~1e-6,
 # far inside the 1e-3/2e-3 parity tolerances.
 SCAN_MXU = os.environ.get("GS_TPU_SCAN_MXU", "0") == "1"
+# power-to-MXU (forward only): the exponent quadratic evaluated as ONE
+# [S,8]@[8,P] contraction of per-splat polynomial coefficients against a
+# tile-local monomial basis, replacing ~11 [S,P] VPU passes. Recentred at
+# the tile origin so fp32 terms stay ~1e2 (error ~2e-5 in power). Under
+# this flag the reference's power>0 cull becomes min(power, 0): expansion
+# noise at a splat's exact center must not exclude its peak pixel, and a
+# true positive power only arises from an indefinite conic, which the
+# +0.3 dilation precludes.
+POWER_MXU = os.environ.get("GS_TPU_POWER_MXU", "0") == "1"
 
 
 def _interpret() -> bool:
@@ -163,6 +172,50 @@ def _chunk_alpha(attr, px, py):
 
 
 
+def _chunk_alpha_mxu(attr, px, py):
+    """(alpha, power) for one chunk via an [S,8]@[8,P] MXU contraction.
+
+    power = -0.5(ca dx^2 + cc dy^2) - cb dx dy with dx = ddx - xl
+    (ddx = mean_x - tile origin, xl the tile-local pixel coordinate)
+    expands over the monomials (1, xl, yl, xl^2, xl yl, yl^2); the six
+    coefficient columns are [S,1]-thin VPU ops. See POWER_MXU note.
+    """
+    s = attr.shape[0]
+    p = px.shape[1]
+    x0 = px[0:1, 0:1]
+    y0 = py[0:1, 0:1]
+    xl = px - x0  # [1,P]
+    yl = py - y0
+    one = jnp.ones((1, p), _F32)
+    zero = jnp.zeros((1, p), _F32)
+    basis = jnp.concatenate(
+        [one, xl, yl, xl * xl, xl * yl, yl * yl, zero, zero], axis=0)
+    ddx = attr[:, 0:1] - x0
+    ddy = attr[:, 1:2] - y0
+    ca, cb, cc = attr[:, 2:3], attr[:, 3:4], attr[:, 4:5]
+    coeffs = jnp.concatenate(
+        [
+            -0.5 * ca * ddx * ddx - 0.5 * cc * ddy * ddy - cb * ddx * ddy,
+            ca * ddx + cb * ddy,
+            cc * ddy + cb * ddx,
+            jnp.broadcast_to(-0.5 * ca, (s, 1)),
+            jnp.broadcast_to(-cb, (s, 1)),
+            jnp.broadcast_to(-0.5 * cc, (s, 1)),
+            jnp.zeros((s, 2), _F32),
+        ],
+        axis=1,
+    )
+    power = jnp.minimum(
+        jax.lax.dot_general(
+            coeffs, basis, (((1,), (0,)), ((), ())), precision=_HI,
+            preferred_element_type=_F32,
+        ),
+        0.0,
+    )
+    alpha = jnp.minimum(ALPHA_MAX, attr[:, 8:9] * jnp.exp(power))
+    return alpha, power
+
+
 def _fwd_chunk_math(attr, px, py, t_in, died_in):
     """Shared forward-chunk compositing algebra (math of _forward_chunk).
 
@@ -178,8 +231,12 @@ def _fwd_chunk_math(attr, px, py, t_in, died_in):
     t_stop [1,P], died_now [1,P], riota [S,P] row iota for pos bookkeeping).
     """
     s = attr.shape[0]
-    alpha, power, _, _, _ = _chunk_alpha(attr, px, py)
-    incl = (alpha >= ALPHA_SKIP) & (power <= 0.0)
+    if POWER_MXU:
+        alpha, _ = _chunk_alpha_mxu(attr, px, py)
+        incl = alpha >= ALPHA_SKIP  # power clamped <= 0 inside
+    else:
+        alpha, power, _, _, _ = _chunk_alpha(attr, px, py)
+        incl = (alpha >= ALPHA_SKIP) & (power <= 0.0)
     omb = jnp.where(incl, 1.0 - alpha, 1.0)
     cp = _cumprod_incl_any(omb)
     t_after = t_in * cp
