@@ -212,8 +212,9 @@ def _chunk_alpha_mxu(attr, px, py):
         ),
         0.0,
     )
-    alpha = jnp.minimum(ALPHA_MAX, attr[:, 8:9] * jnp.exp(power))
-    return alpha, power
+    g_exp = jnp.exp(power)
+    alpha = jnp.minimum(ALPHA_MAX, attr[:, 8:9] * g_exp)
+    return alpha, g_exp
 
 
 def _fwd_chunk_math(attr, px, py, t_in, died_in):
@@ -271,8 +272,17 @@ def _bwd_chunk_math(attr, px, py, pos, ncon, gc, gt_term, trun, ssuf):
     Returns ([7 gradient column blocks], new_trun [1,P], new_ssuf [1,P]).
     """
     s = attr.shape[0]
-    alpha, power, dx, dy, g_exp = _chunk_alpha(attr, px, py)
-    incl = (alpha >= ALPHA_SKIP) & (power <= 0.0)
+    if POWER_MXU:
+        # the mask must reconstruct the forward's EXACT incl (same power
+        # rounding), so the same MXU contraction; dx/dy stay direct (the
+        # moment chains need them anyway)
+        alpha, g_exp = _chunk_alpha_mxu(attr, px, py)
+        dx = attr[:, 0:1] - px
+        dy = attr[:, 1:2] - py
+        incl = alpha >= ALPHA_SKIP
+    else:
+        alpha, power, dx, dy, g_exp = _chunk_alpha(attr, px, py)
+        incl = (alpha >= ALPHA_SKIP) & (power <= 0.0)
     contrib = incl & (pos < ncon)
     omb = jnp.where(contrib, 1.0 - alpha, 1.0)
 
