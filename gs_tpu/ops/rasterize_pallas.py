@@ -71,6 +71,16 @@ SCAN_MXU = os.environ.get("GS_TPU_SCAN_MXU", "0") == "1"
 # true positive power only arises from an indefinite conic, which the
 # +0.3 dilation precludes.
 POWER_MXU = os.environ.get("GS_TPU_POWER_MXU", "0") == "1"
+# moment-to-MXU (backward): the five dx/dy moment reductions as one
+# [S,P]@[P,8] contraction (_moment_grads). Round-3 note: measured 10%
+# SLOWER at HIGHEST (6-pass fp32 emulation + padded-N output); retried
+# here at selectable precision — "high" (bf16x3, ~1e-6 contraction error,
+# still far inside the 2e-3 gradient tolerances) halves the emulation
+# passes. Values: "0" off, "1" HIGHEST, "high" HIGH.
+_MM = os.environ.get("GS_TPU_MOMENT_MXU", "0")
+MOMENT_MXU = _MM != "0"
+_MOMENT_PREC = (jax.lax.Precision.HIGH if _MM == "high"
+                else jax.lax.Precision.HIGHEST)
 
 
 def _interpret() -> bool:
@@ -303,24 +313,36 @@ def _bwd_chunk_math(attr, px, py, pos, ncon, gc, gt_term, trun, ssuf):
 
     ga = g_exp * d_alpha  # zeroed with d_alpha
     sum1 = lambda x: jnp.sum(x, axis=1, keepdims=True)
-    d_opac = sum1(ga)
     d_power = attr[:, 8:9] * ga
-    dxp = dx * d_power
-    dyp = dy * d_power
-    sx, sy = sum1(dxp), sum1(dyp)
     d_rgb = jax.lax.dot_general(
         w, gc, (((1,), (1,)), ((), ())), precision=_HI,
         preferred_element_type=_F32,
     )  # [S,P] x [3,P] -> [S,3]
-    grads = [
-        -(attr[:, 2:3] * sx + attr[:, 3:4] * sy),
-        -(attr[:, 4:5] * sy + attr[:, 3:4] * sx),
-        -0.5 * sum1(dx * dxp),
-        -sum1(dy * dxp),
-        -0.5 * sum1(dy * dyp),
-        d_rgb,
-        d_opac,
-    ]
+    if MOMENT_MXU:
+        x0 = px[0:1, 0:1]
+        y0 = py[0:1, 0:1]
+        xl = px - x0
+        yl = py - y0
+        p = px.shape[1]
+        basis = jnp.concatenate(
+            [jnp.ones((1, p), _F32), xl, yl, xl * xl, xl * yl, yl * yl,
+             jnp.zeros((2, p), _F32)], axis=0)
+        gm = _moment_grads(attr, d_power, x0, y0, basis)
+        grads = [gm[0], gm[1], gm[2], gm[3], gm[4], d_rgb, gm[5]]
+    else:
+        d_opac = sum1(ga)
+        dxp = dx * d_power
+        dyp = dy * d_power
+        sx, sy = sum1(dxp), sum1(dyp)
+        grads = [
+            -(attr[:, 2:3] * sx + attr[:, 3:4] * sy),
+            -(attr[:, 4:5] * sy + attr[:, 3:4] * sx),
+            -0.5 * sum1(dx * dxp),
+            -sum1(dy * dxp),
+            -0.5 * sum1(dy * dyp),
+            d_rgb,
+            d_opac,
+        ]
     new_ssuf = s_after[0:1] + wb[0:1]  # = ssuf + sum over the whole chunk
     return grads, t_in, new_ssuf
 
@@ -349,7 +371,7 @@ def _moment_grads(attr, d_power, x0f, y0f, basis):
     parity tolerances and far below training noise.
     """
     M = jax.lax.dot_general(
-        d_power, basis, (((1,), (1,)), ((), ())), precision=_HI,
+        d_power, basis, (((1,), (1,)), ((), ())), precision=_MOMENT_PREC,
         preferred_element_type=_F32,
     )  # [S, 8]
     M0, Mx, My = M[:, 0:1], M[:, 1:2], M[:, 2:3]
