@@ -81,6 +81,14 @@ _MM = os.environ.get("GS_TPU_MOMENT_MXU", "0")
 MOMENT_MXU = _MM != "0"
 _MOMENT_PREC = (jax.lax.Precision.HIGH if _MM == "high"
                 else jax.lax.Precision.HIGHEST)
+# precision of the compositing color contractions (fwd color accumulate,
+# backward bdot / d_rgb): fp32 on the MXU is emulated in bf16 passes —
+# HIGHEST = 6, HIGH = 3 (~1e-6 contraction error, far inside the 1e-3
+# image / 2e-3 gradient tolerances). The fwd dot's M=3 pads to the full
+# systolic dimension, so its cost is pure emulation-pass count.
+_DOT_PREC = (jax.lax.Precision.HIGH
+             if os.environ.get("GS_TPU_DOT_PREC", "highest") == "high"
+             else jax.lax.Precision.HIGHEST)
 
 
 def _interpret() -> bool:
@@ -303,7 +311,7 @@ def _bwd_chunk_math(attr, px, py, pos, ncon, gc, gt_term, trun, ssuf):
     w = jnp.where(contrib, alpha * t_before, 0.0)
 
     bdot = jax.lax.dot_general(
-        attr[:, 5:8], gc, (((1,), (0,)), ((), ())), precision=_HI,
+        attr[:, 5:8], gc, (((1,), (0,)), ((), ())), precision=_DOT_PREC,
         preferred_element_type=_F32,
     )  # [S,P]
     wb = w * bdot  # w is already 0 where ~contrib
@@ -315,7 +323,7 @@ def _bwd_chunk_math(attr, px, py, pos, ncon, gc, gt_term, trun, ssuf):
     sum1 = lambda x: jnp.sum(x, axis=1, keepdims=True)
     d_power = attr[:, 8:9] * ga
     d_rgb = jax.lax.dot_general(
-        w, gc, (((1,), (1,)), ((), ())), precision=_HI,
+        w, gc, (((1,), (1,)), ((), ())), precision=_DOT_PREC,
         preferred_element_type=_F32,
     )  # [S,P] x [3,P] -> [S,3]
     if MOMENT_MXU:
@@ -523,7 +531,7 @@ def _fwd_tile_kernel(starts_ref, ends_ref, tid_ref, attr_hbm,
                         _fwd_chunk_math(attr, px, py, t_ref[0], died_ref[:])
                     color_ref[0] += jax.lax.dot_general(
                         attr[:, 5:8], w, (((0,), (0,)), ((), ())),
-                        precision=_HI, preferred_element_type=_F32,
+                        precision=_DOT_PREC, preferred_element_type=_F32,
                     )
                     t_ref[0] = jnp.where(
                         died_ref[:] > 0.5, t_ref[0],
@@ -786,8 +794,8 @@ def _fwd_kernel(row_ref, blk_ref, tid_ref, attr_ref,
         w, contrib, chunk_prod, t_stop, died_now, riota = _fwd_chunk_math(
             attr_ref[:], px, py, t_ref[0], died_ref[:])
         color_ref[0] += jax.lax.dot_general(
-            attr_ref[:, 5:8], w, (((0,), (0,)), ((), ())), precision=_HI,
-            preferred_element_type=_F32,
+            attr_ref[:, 5:8], w, (((0,), (0,)), ((), ())),
+            precision=_DOT_PREC, preferred_element_type=_F32,
         )
         t_ref[0] = jnp.where(
             died_ref[:] > 0.5, t_ref[0],
