@@ -43,9 +43,10 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/gs_tpu_xla"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-H, W = 1080, 1920
-N_GAUSS = 262_144
-N_HEAVY = 1_048_576
+H = int(os.environ.get("GS_TPU_BENCH_H", "1080"))
+W = int(os.environ.get("GS_TPU_BENCH_W", "1920"))
+N_GAUSS = int(os.environ.get("GS_TPU_BENCH_N", str(262_144)))
+N_HEAVY = int(os.environ.get("GS_TPU_BENCH_N_HEAVY", str(1_048_576)))
 BASELINE_PIX_PER_S = 30 * 1920 * 1080  # reference: >=30fps @1080p fwd-only
 BACKEND = os.environ.get("GS_TPU_BENCH_BACKEND", "auto")
 # 48x32 tiles: ~2.9x fewer (tile,splat) pairs than 16x16 on this scene, and
@@ -192,7 +193,7 @@ def main():
     dt_train = max(timed_chain(full_step) - rtt, 1e-6)
 
     result = {
-        "metric": f"fwd+bwd pixels/s @1080p ({N_GAUSS} gaussians, {platform})",
+        "metric": f"fwd+bwd pixels/s @{H}p ({N_GAUSS} gaussians, {platform})",
         "value": round(pix_per_s, 1),
         "unit": "pixels/s",
         "vs_baseline": round(pix_per_s / BASELINE_PIX_PER_S, 4),
