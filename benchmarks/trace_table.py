@@ -58,17 +58,39 @@ def main():
     def grads_sum(grads):
         return sum(jnp.sum(g) for g in jax.tree.leaves(grads))
 
-    @jax.jit
-    def fwd_bwd(state, i, prev):
-        bg = jnp.full((3,), 1e-12, jnp.float32) * i + 1e-30 * prev
+    if "--train" in sys.argv:
+        # the FULL jitted training step (SSIM loss, Adam, densify stats) —
+        # what a real iteration pays beyond the L1 fwd+bwd
+        from gs_tpu.config import OptimizationParams
+        from gs_tpu.models import densify, optim
+        from gs_tpu.training import train_step
 
-        def loss_fn(params):
-            out = render(cam, state.with_params(params), active_sh_degree=3,
-                         bg_color=bg, cfg=cfg)
-            return losses.l1_loss(out.image, target)
+        opt_cfg = OptimizationParams()
+        adam = optim.init(state.params())
+        stats = densify.DensifyStats.zeros(state.capacity)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params())
-        return loss + 1e-30 * grads_sum(grads)
+        @jax.jit
+        def fwd_bwd(state, i, prev):
+            bg = jnp.full((3,), 1e-12, jnp.float32) * i + 1e-30 * prev
+            st, ad, sts, m = train_step(
+                state, adam, stats, cam, bg, jnp.int32(100),
+                jnp.float32(1.0), active_sh_degree=3, opt_cfg=opt_cfg,
+                raster_cfg=cfg, accumulate_stats=True,
+            )
+            return (m["loss"] + 1e-30 * grads_sum(st.params())
+                    + 1e-30 * grads_sum(ad.mu) + 1e-30 * sts.denom.sum())
+    else:
+        @jax.jit
+        def fwd_bwd(state, i, prev):
+            bg = jnp.full((3,), 1e-12, jnp.float32) * i + 1e-30 * prev
+
+            def loss_fn(params):
+                out = render(cam, state.with_params(params), active_sh_degree=3,
+                             bg_color=bg, cfg=cfg)
+                return losses.l1_loss(out.image, target)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params())
+            return loss + 1e-30 * grads_sum(grads)
 
     s = fwd_bwd(state, np.float32(0), jnp.float32(0.0))
     float(s)
