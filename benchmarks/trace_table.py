@@ -14,7 +14,6 @@ from __future__ import annotations
 import glob
 import gzip
 import json
-import math
 import os
 import sys
 import tempfile

@@ -11,7 +11,7 @@ defaults — including the fork's ``sh_degree = 0`` default,
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=False)

@@ -16,7 +16,6 @@ Behavioral parity: reference ``scene/dataset_readers.py``:
 from __future__ import annotations
 
 import json
-import math
 import os
 from dataclasses import dataclass, field
 

@@ -32,7 +32,6 @@ on one device — that would defeat the point of sharding):
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -36,7 +36,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gs_tpu import cameras as cam_mod
 from gs_tpu.config import (OptimizationParams, ParallelConfig, PipelineParams,
                            RasterizeConfig)
 from gs_tpu.data import multihost

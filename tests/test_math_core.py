@@ -5,7 +5,6 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from gs_tpu import cameras
 from gs_tpu.ops import sh, transforms

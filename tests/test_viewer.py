@@ -5,9 +5,7 @@ import math
 import socket
 import threading
 
-import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from gs_tpu.config import RasterizeConfig
 from gs_tpu.models import gaussians
