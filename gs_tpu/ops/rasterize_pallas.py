@@ -62,6 +62,14 @@ KERNEL_MODE = os.environ.get("GS_TPU_PALLAS_KERNEL", "chunk")
 # [S,S]@[S,P] contraction replaces. exp/log round-trip error ~1e-6,
 # far inside the 1e-3/2e-3 parity tolerances.
 SCAN_MXU = os.environ.get("GS_TPU_SCAN_MXU", "0") == "1"
+# tri-matmul precision: the 0/1 mask operand is exact in bf16, so HIGH
+# (3-pass) only perturbs the x-operand split — ~1e-6 on the scan output.
+# Note the tri contraction is S^2*P MACs per chunk of S pairs (grows with
+# S per pair), the opposite of the log-step scans — SCAN_MXU pairs best
+# with SMALLER chunks.
+_SCAN_PREC = (jax.lax.Precision.HIGH
+              if os.environ.get("GS_TPU_SCAN_PREC", "highest") == "high"
+              else jax.lax.Precision.HIGHEST)
 # power-to-MXU (forward only): the exponent quadratic evaluated as ONE
 # [S,8]@[8,P] contraction of per-splat polynomial coefficients against a
 # tile-local monomial basis, replacing ~11 [S,P] VPU passes. Recentred at
@@ -150,7 +158,7 @@ def _tri_dot(x, *, lower, strict):
     m = ((c < r) if strict else (c <= r)) if lower else \
         ((c > r) if strict else (c >= r))
     return jax.lax.dot_general(
-        m.astype(_F32), x, (((1,), (0,)), ((), ())), precision=_HI,
+        m.astype(_F32), x, (((1,), (0,)), ((), ())), precision=_SCAN_PREC,
         preferred_element_type=_F32,
     )
 
