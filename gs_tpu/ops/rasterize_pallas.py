@@ -163,21 +163,18 @@ def _tri_dot(x, *, lower, strict):
     )
 
 
-def _cumprod_incl_any(omb):
-    """Inclusive cumprod, log-domain MXU variant behind SCAN_MXU.
+def _cumprod_omb_any(alpha, incl, omb, *, strict):
+    """Prefix product of omb = where(incl, 1-alpha, 1) along axis 0.
 
-    omb is in (0, 1] with masked rows exactly 1.0: log(1.0) == 0.0 exactly,
-    so masked prefixes stay exactly 1 through exp(sum 0) == 1.
+    MXU variant (SCAN_MXU): exp of a triangular-matmul cumsum of
+    log1p(-alpha_masked) — log1p on the UNROUNDED -alpha keeps the small-
+    alpha precision that forming 1-alpha first would discard, and masked
+    rows contribute an exact 0.0 (prefixes stay exactly 1).
     """
     if SCAN_MXU:
-        return jnp.exp(_tri_dot(jnp.log(omb), lower=True, strict=False))
-    return _cumprod_incl(omb)
-
-
-def _cumprod_excl_any(omb):
-    if SCAN_MXU:
-        return jnp.exp(_tri_dot(jnp.log(omb), lower=True, strict=True))
-    return _cumprod_excl(omb)
+        la = jnp.log1p(jnp.where(incl, -alpha, 0.0))
+        return jnp.exp(_tri_dot(la, lower=True, strict=strict))
+    return _cumprod_excl(omb) if strict else _cumprod_incl(omb)
 
 
 def _chunk_alpha(attr, px, py):
@@ -265,7 +262,7 @@ def _fwd_chunk_math(attr, px, py, t_in, died_in):
         alpha, power, _, _, _ = _chunk_alpha(attr, px, py)
         incl = (alpha >= ALPHA_SKIP) & (power <= 0.0)
     omb = jnp.where(incl, 1.0 - alpha, 1.0)
-    cp = _cumprod_incl_any(omb)
+    cp = _cumprod_omb_any(alpha, incl, omb, strict=False)
     t_after = t_in * cp
     t_before = t_in * _shift_down(cp, 1, 1.0)
     stop = incl & (t_after < T_EPS)
@@ -312,7 +309,7 @@ def _bwd_chunk_math(attr, px, py, pos, ncon, gc, gt_term, trun, ssuf):
     contrib = incl & (pos < ncon)
     omb = jnp.where(contrib, 1.0 - alpha, 1.0)
 
-    pe = _cumprod_excl_any(omb)  # prod_{j<i} omb[j]
+    pe = _cumprod_omb_any(alpha, contrib, omb, strict=True)  # prod_{j<i}
     chunk_prod = pe[s - 1:s] * omb[s - 1:s]
     t_in = trun / chunk_prod  # [1,P] transmittance entering the chunk
     t_before = t_in * pe
