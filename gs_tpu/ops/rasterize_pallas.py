@@ -70,14 +70,15 @@ SCAN_MXU = os.environ.get("GS_TPU_SCAN_MXU", "0") == "1"
 _SCAN_PREC = (jax.lax.Precision.HIGH
               if os.environ.get("GS_TPU_SCAN_PREC", "highest") == "high"
               else jax.lax.Precision.HIGHEST)
-# power-to-MXU (forward only): the exponent quadratic evaluated as ONE
-# [S,8]@[8,P] contraction of per-splat polynomial coefficients against a
-# tile-local monomial basis, replacing ~11 [S,P] VPU passes. Recentred at
-# the tile origin so fp32 terms stay ~1e2 (error ~2e-5 in power). Under
-# this flag the reference's power>0 cull becomes min(power, 0): expansion
-# noise at a splat's exact center must not exclude its peak pixel, and a
-# true positive power only arises from an indefinite conic, which the
-# +0.3 dilation precludes.
+# power-to-MXU: the exponent quadratic evaluated as ONE [S,8]@[8,P]
+# contraction of per-splat polynomial coefficients against a tile-local
+# monomial basis, replacing ~11 [S,P] VPU passes. Recentred at the TILE
+# CENTER the fp32 expansion error stays inside even the fp64-golden
+# tolerances (tests/test_pallas_variants.py asserts it). Under this flag
+# the reference's power>0 cull becomes min(power, 0): expansion noise at
+# a splat's exact center must not exclude its peak pixel, and a true
+# positive power only arises from an indefinite conic, which the +0.3
+# dilation precludes.
 POWER_MXU = os.environ.get("GS_TPU_POWER_MXU", "0") == "1"
 # moment-to-MXU (backward): the five dx/dy moment reductions as one
 # [S,P]@[P,8] contraction (_moment_grads). Round-3 note: measured 10%
@@ -205,8 +206,11 @@ def _chunk_alpha_mxu(attr, px, py):
     """
     s = attr.shape[0]
     p = px.shape[1]
-    x0 = px[0:1, 0:1]
-    y0 = py[0:1, 0:1]
+    # recenter at the TILE CENTER (any shared constant is algebraically
+    # exact; the center quarters the |xl^2| term magnitudes vs the origin,
+    # and the fp32 cancellation error shrinks with them)
+    x0 = 0.5 * (px[0:1, 0:1] + px[0:1, p - 1:p])
+    y0 = 0.5 * (py[0:1, 0:1] + py[0:1, p - 1:p])
     xl = px - x0  # [1,P]
     yl = py - y0
     one = jnp.ones((1, p), _F32)

@@ -59,9 +59,8 @@ for a, b in zip(g_x, g_p):
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3,
                                atol=2e-3 * scale)
 
-# fp64-golden cleanliness: SCAN/MOMENT/DOT hold the strict golden
-# tolerances; POWER_MXU trades a documented ~2e-5 power-expansion error
-# and is exempt (see rasterize_pallas.py header).
+# fp64-golden cleanliness: every knob holds the strict golden tolerances
+# (SCAN via log1p on unrounded alpha; POWER via tile-center recentring).
 import os as _os
 if int(_os.environ.get("CHECK_GOLDEN", "0")):
     g = np.load(_os.path.join({root!r}, "tests", "golden",
@@ -83,11 +82,12 @@ print("VARIANT_OK")
 
 @pytest.mark.parametrize("env", [
     {"GS_TPU_SCAN_MXU": "1", "CHECK_GOLDEN": "1"},
-    {"GS_TPU_POWER_MXU": "1"},
+    {"GS_TPU_POWER_MXU": "1", "CHECK_GOLDEN": "1"},
     {"GS_TPU_MOMENT_MXU": "high", "CHECK_GOLDEN": "1"},
     {"GS_TPU_DOT_PREC": "high", "CHECK_GOLDEN": "1"},
     {"GS_TPU_SCAN_MXU": "1", "GS_TPU_POWER_MXU": "1",
-     "GS_TPU_MOMENT_MXU": "high", "GS_TPU_DOT_PREC": "high"},
+     "GS_TPU_MOMENT_MXU": "high", "GS_TPU_DOT_PREC": "high",
+     "CHECK_GOLDEN": "1"},
 ])
 def test_variant_parity(env):
     out = subprocess.run(
