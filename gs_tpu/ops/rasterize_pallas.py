@@ -92,12 +92,13 @@ _MOMENT_PREC = (jax.lax.Precision.HIGH if _MM == "high"
                 else jax.lax.Precision.HIGHEST)
 # precision of the compositing color contractions (fwd color accumulate,
 # backward bdot / d_rgb): fp32 on the MXU is emulated in bf16 passes —
-# HIGHEST = 6, HIGH = 3 (~1e-6 contraction error, far inside the 1e-3
-# image / 2e-3 gradient tolerances). The fwd dot's M=3 pads to the full
-# systolic dimension, so its cost is pure emulation-pass count.
-_DOT_PREC = (jax.lax.Precision.HIGH
-             if os.environ.get("GS_TPU_DOT_PREC", "highest") == "high"
-             else jax.lax.Precision.HIGHEST)
+# HIGHEST = 6, HIGH = 3 (~1e-6 contraction error; passes the fp64 golden
+# bundle, asserted in tests/test_pallas_variants.py). The fwd dot's M=3
+# pads to the full systolic dimension, so its cost is pure emulation-pass
+# count — HIGH is the same op with strictly fewer passes, hence default.
+_DOT_PREC = (jax.lax.Precision.HIGHEST
+             if os.environ.get("GS_TPU_DOT_PREC", "high") == "highest"
+             else jax.lax.Precision.HIGH)
 
 
 def _interpret() -> bool:
