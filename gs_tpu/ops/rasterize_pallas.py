@@ -12,9 +12,11 @@ single fused Pallas kernel each way:
   partial-chunk masking). The tile's color/transmittance/ncon accumulators
   live in the revisited output block in VMEM and flush to HBM once per tile.
 
-  forward, per chunk:   alpha [S,P] on the VPU, exclusive cumprod of
-  (1-alpha) via log-step shifted multiplies, color += rgb^T(alpha*T) on the
-  MXU, early-skip of whole chunks once every pixel's transmittance died.
+  forward, per chunk:   the exponent quadratic, the depth cumprod (log
+  domain) and the color accumulation all ride the MXU (defaults; see the
+  GS_TPU_*_MXU knobs below — a v5e VPU has ~1/10th an A6000's elementwise
+  fp32 throughput, so [S,P] pass count is the budget that matters);
+  early-skip of whole chunks once every pixel's transmittance died.
 
   backward, per chunk (tiles walked in reverse chunk order via a second
   prefetched visit table): transmittance reconstructed by division from the
@@ -61,7 +63,7 @@ KERNEL_MODE = os.environ.get("GS_TPU_PALLAS_KERNEL", "chunk")
 # color dots — each log-step scan burns ~12 [S,P] passes that one
 # [S,S]@[S,P] contraction replaces. exp/log round-trip error ~1e-6,
 # far inside the 1e-3/2e-3 parity tolerances.
-SCAN_MXU = os.environ.get("GS_TPU_SCAN_MXU", "0") == "1"
+SCAN_MXU = os.environ.get("GS_TPU_SCAN_MXU", "1") == "1"
 # tri-matmul precision: the 0/1 mask operand is exact in bf16, so HIGH
 # (3-pass) only perturbs the x-operand split — ~1e-6 on the scan output.
 # Note the tri contraction is S^2*P MACs per chunk of S pairs (grows with
@@ -79,14 +81,14 @@ _SCAN_PREC = (jax.lax.Precision.HIGH
 # a splat's exact center must not exclude its peak pixel, and a true
 # positive power only arises from an indefinite conic, which the +0.3
 # dilation precludes.
-POWER_MXU = os.environ.get("GS_TPU_POWER_MXU", "0") == "1"
+POWER_MXU = os.environ.get("GS_TPU_POWER_MXU", "1") == "1"
 # moment-to-MXU (backward): the five dx/dy moment reductions as one
 # [S,P]@[P,8] contraction (_moment_grads). Round-3 note: measured 10%
 # SLOWER at HIGHEST (6-pass fp32 emulation + padded-N output); retried
 # here at selectable precision — "high" (bf16x3, ~1e-6 contraction error,
 # still far inside the 2e-3 gradient tolerances) halves the emulation
 # passes. Values: "0" off, "1" HIGHEST, "high" HIGH.
-_MM = os.environ.get("GS_TPU_MOMENT_MXU", "0")
+_MM = os.environ.get("GS_TPU_MOMENT_MXU", "high")
 MOMENT_MXU = _MM != "0"
 _MOMENT_PREC = (jax.lax.Precision.HIGH if _MM == "high"
                 else jax.lax.Precision.HIGHEST)
