@@ -81,10 +81,17 @@ print("VARIANT_OK")
 
 
 @pytest.mark.parametrize("env", [
-    {"GS_TPU_SCAN_MXU": "1", "CHECK_GOLDEN": "1"},
-    {"GS_TPU_POWER_MXU": "1", "CHECK_GOLDEN": "1"},
-    {"GS_TPU_MOMENT_MXU": "high", "CHECK_GOLDEN": "1"},
-    {"GS_TPU_DOT_PREC": "high", "CHECK_GOLDEN": "1"},
+    # the legacy log-step/VPU paths (every MXU knob off) — the defaults
+    # are the MXU variants since round 3, so the classic formulation only
+    # gets coverage through this combination
+    {"GS_TPU_SCAN_MXU": "0", "GS_TPU_POWER_MXU": "0",
+     "GS_TPU_MOMENT_MXU": "0", "GS_TPU_DOT_PREC": "highest",
+     "CHECK_GOLDEN": "1"},
+    # single-knob-off attribution combos
+    {"GS_TPU_SCAN_MXU": "0", "CHECK_GOLDEN": "1"},
+    {"GS_TPU_POWER_MXU": "0", "CHECK_GOLDEN": "1"},
+    {"GS_TPU_MOMENT_MXU": "0", "CHECK_GOLDEN": "1"},
+    # all-on (the defaults, pinned explicitly)
     {"GS_TPU_SCAN_MXU": "1", "GS_TPU_POWER_MXU": "1",
      "GS_TPU_MOMENT_MXU": "high", "GS_TPU_DOT_PREC": "high",
      "CHECK_GOLDEN": "1"},
