@@ -162,6 +162,30 @@ def main():
     rtt = timed_chain(lambda i, prev: tiny(i, prev), iters=20)
 
     dt = bench_fwd_bwd(state, cam, cfg, target, rtt)
+    kernel_config, alt_ms = "mxu", None
+    if platform == "tpu" and cfg.backend in ("auto", "pallas") and \
+            os.environ.get("GS_TPU_BENCH_AB", "1") != "0":
+        # A/B the two kernel formulations for the headline and keep the
+        # faster (the round-3 MXU default was flipped on analysis while
+        # the dev tunnel was down — this keeps the recorded number honest
+        # in either direction; the chosen config is reported).
+        from gs_tpu.ops import rasterize_pallas as rp
+
+        was_mxu = rp.SCAN_MXU
+        rp.set_formulation(not was_mxu)
+        try:
+            dt_alt = bench_fwd_bwd(state, cam, cfg, target, rtt)
+        finally:
+            rp.set_formulation(was_mxu)
+        names = ("mxu", "vpu") if was_mxu else ("vpu", "mxu")
+        if dt_alt < dt:
+            alt_ms = dt * 1e3
+            dt = dt_alt
+            kernel_config = names[1]
+            rp.set_formulation(not was_mxu)  # keep winner for later legs
+        else:
+            alt_ms = dt_alt * 1e3
+            kernel_config = names[0]
     pix_per_s = H * W / dt
 
     # forward-only render (the reference headline's own shape)
@@ -203,6 +227,8 @@ def main():
         "num_pairs": num_pairs,
         "pair_budget_factor": cfg.pair_budget_factor,
         "tunnel_rtt_ms": round(rtt * 1e3, 2),
+        "kernel_config": kernel_config,
+        "alt_fwd_bwd_ms": round(alt_ms, 2) if alt_ms else None,
     }
 
     if RUN_HEAVY:

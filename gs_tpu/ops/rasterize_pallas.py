@@ -103,6 +103,25 @@ _DOT_PREC = (jax.lax.Precision.HIGHEST
              else jax.lax.Precision.HIGH)
 
 
+def set_formulation(mxu: bool) -> None:
+    """Switch the kernel formulation globals at runtime (A/B harnesses).
+
+    The flags are consumed at TRACE time, so flipping them and building a
+    fresh ``jax.jit`` retraces with the other formulation. Tests and
+    benches only — training code should pick one via env and stay there
+    (mixing formulations across a custom_vjp pair is still consistent,
+    both are parity-exact, but invalidates perf attribution).
+    """
+    global SCAN_MXU, POWER_MXU, MOMENT_MXU
+    global _SCAN_PREC, _MOMENT_PREC, _DOT_PREC
+    SCAN_MXU = POWER_MXU = MOMENT_MXU = mxu
+    if mxu:
+        _MOMENT_PREC = jax.lax.Precision.HIGH
+        _DOT_PREC = jax.lax.Precision.HIGH
+    else:
+        _DOT_PREC = jax.lax.Precision.HIGHEST
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
