@@ -14,12 +14,17 @@ a spatial-hash scheme that would fight XLA's static shapes.
 from __future__ import annotations
 
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
 
+# Above this, the O(N^2) brute force stops being "cheap on the MXU": at 5M
+# points it is ~1e14 FLOPs (minutes of init time on one chip). Warn rather
+# than fail — it is still exact, one-shot, and memory-bounded.
+_BRUTE_FORCE_WARN_N = 2_000_000
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+
 def mean_knn_sq_dist(points: jnp.ndarray, k: int = 3, chunk: int = 4096) -> jnp.ndarray:
     """Mean squared distance from each point to its k nearest neighbors.
 
@@ -29,6 +34,18 @@ def mean_knn_sq_dist(points: jnp.ndarray, k: int = 3, chunk: int = 4096) -> jnp.
     Returns:
       [N] fp32.
     """
+    if points.shape[0] > _BRUTE_FORCE_WARN_N:
+        warnings.warn(
+            f"mean_knn_sq_dist is O(N^2) brute force; N={points.shape[0]:,} "
+            f"will take minutes at init (fine above ~{_BRUTE_FORCE_WARN_N:,} "
+            "only if you can wait). Consider subsampling the init cloud.",
+            stacklevel=2,
+        )
+    return _mean_knn_sq_dist(points, k=k, chunk=chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def _mean_knn_sq_dist(points: jnp.ndarray, k: int = 3, chunk: int = 4096) -> jnp.ndarray:
     n = points.shape[0]
     if n <= k:
         # degenerate tiny cloud: fall back to mean over all others

@@ -118,6 +118,18 @@ class TestKNN:
         got = np.asarray(knn.mean_knn_sq_dist(jnp.asarray(pts), k=3, chunk=64))
         np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
 
+    def test_warns_at_brute_force_scale(self, monkeypatch):
+        import warnings
+
+        monkeypatch.setattr(knn, "_BRUTE_FORCE_WARN_N", 64)
+        pts = jnp.asarray(
+            np.random.default_rng(1).normal(size=(128, 3)).astype(np.float32))
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = knn.mean_knn_sq_dist(pts, k=3, chunk=64)
+        assert any("O(N^2)" in str(x.message) for x in w)
+        assert out.shape == (128,)
+
 
 class TestBandedLoss:
     def test_band_partition_reproduces_full_loss(self):
