@@ -95,6 +95,8 @@ print("VARIANT_OK")
     {"GS_TPU_SCAN_MXU": "1", "GS_TPU_POWER_MXU": "1",
      "GS_TPU_MOMENT_MXU": "high", "GS_TPU_DOT_PREC": "high",
      "CHECK_GOLDEN": "1"},
+    # tile-grid kernel mode under the MXU defaults (the hardware A/B combo)
+    {"GS_TPU_PALLAS_KERNEL": "tile", "CHECK_GOLDEN": "1"},
 ])
 def test_variant_parity(env):
     out = subprocess.run(
