@@ -123,6 +123,19 @@ def set_formulation(mxu: bool) -> None:
 
 
 def _interpret() -> bool:
+    """Interpret-mode heuristic, overridable via GS_TPU_PALLAS_INTERPRET.
+
+    Default: interpret unless running on a real TPU backend. The "0"
+    override exists for AOT compile checks against a local TPU topology
+    (jax.experimental.topologies): there jax.default_backend() is "cpu",
+    which would silently lower the kernels as interpret-mode XLA while
+    loops — compiling those proves nothing about Mosaic. Forcing "0" makes
+    pallas_call emit the real tpu_custom_call so .compile() exercises the
+    actual Mosaic kernel compiler.
+    """
+    force = os.environ.get("GS_TPU_PALLAS_INTERPRET")
+    if force is not None:
+        return force == "1"
     return jax.default_backend() != "tpu"
 
 
