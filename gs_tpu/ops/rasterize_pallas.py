@@ -64,14 +64,13 @@ KERNEL_MODE = os.environ.get("GS_TPU_PALLAS_KERNEL", "chunk")
 # [S,S]@[S,P] contraction replaces. exp/log round-trip error ~1e-6,
 # far inside the 1e-3/2e-3 parity tolerances.
 SCAN_MXU = os.environ.get("GS_TPU_SCAN_MXU", "1") == "1"
-# tri-matmul precision: the 0/1 mask operand is exact in bf16, so HIGH
-# (3-pass) only perturbs the x-operand split — ~1e-6 on the scan output.
+# tri-matmul precision: the 0/1 mask operand is exact in bf16, so "high"
+# (a 2-pass exact-mask split, see _tri_dot) only perturbs the x-operand
+# split — ~1e-6 on the scan output.
 # Note the tri contraction is S^2*P MACs per chunk of S pairs (grows with
 # S per pair), the opposite of the log-step scans — SCAN_MXU pairs best
 # with SMALLER chunks.
-_SCAN_PREC = (jax.lax.Precision.HIGH
-              if os.environ.get("GS_TPU_SCAN_PREC", "highest") == "high"
-              else jax.lax.Precision.HIGHEST)
+_SCAN_PREC = os.environ.get("GS_TPU_SCAN_PREC", "highest")
 # power-to-MXU: the exponent quadratic evaluated as ONE [S,8]@[8,P]
 # contraction of per-splat polynomial coefficients against a tile-local
 # monomial basis, replacing ~11 [S,P] VPU passes. Recentred at the TILE
@@ -90,17 +89,16 @@ POWER_MXU = os.environ.get("GS_TPU_POWER_MXU", "1") == "1"
 # passes. Values: "0" off, "1" HIGHEST, "high" HIGH.
 _MM = os.environ.get("GS_TPU_MOMENT_MXU", "high")
 MOMENT_MXU = _MM != "0"
-_MOMENT_PREC = (jax.lax.Precision.HIGH if _MM == "high"
-                else jax.lax.Precision.HIGHEST)
+_MOMENT_PREC = "high" if _MM == "high" else "highest"
 # precision of the compositing color contractions (fwd color accumulate,
 # backward bdot / d_rgb): fp32 on the MXU is emulated in bf16 passes —
 # HIGHEST = 6, HIGH = 3 (~1e-6 contraction error; passes the fp64 golden
 # bundle, asserted in tests/test_pallas_variants.py). The fwd dot's M=3
 # pads to the full systolic dimension, so its cost is pure emulation-pass
 # count — HIGH is the same op with strictly fewer passes, hence default.
-_DOT_PREC = (jax.lax.Precision.HIGHEST
+_DOT_PREC = ("highest"
              if os.environ.get("GS_TPU_DOT_PREC", "high") == "highest"
-             else jax.lax.Precision.HIGH)
+             else "high")
 
 
 def set_formulation(mxu: bool) -> None:
@@ -116,10 +114,10 @@ def set_formulation(mxu: bool) -> None:
     global _SCAN_PREC, _MOMENT_PREC, _DOT_PREC
     SCAN_MXU = POWER_MXU = MOMENT_MXU = mxu
     if mxu:
-        _MOMENT_PREC = jax.lax.Precision.HIGH
-        _DOT_PREC = jax.lax.Precision.HIGH
+        _MOMENT_PREC = "high"
+        _DOT_PREC = "high"
     else:
-        _DOT_PREC = jax.lax.Precision.HIGHEST
+        _DOT_PREC = "highest"
 
 
 def _interpret() -> bool:
@@ -137,6 +135,41 @@ def _interpret() -> bool:
     if force is not None:
         return force == "1"
     return jax.default_backend() != "tpu"
+
+
+# ----------------------------------------------------------------------------
+# in-kernel matmul precision (Mosaic-lowerable only)
+# ----------------------------------------------------------------------------
+
+
+def _bf16_split(x):
+    """x (f32) -> (hi, lo) bf16 halves with x ~= hi + lo (~2^-17 relative)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(_F32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _mxu_dot(a, b, dims, prec):
+    """dot_general at a Mosaic-lowerable precision.
+
+    Mosaic's dot_general lowering accepts only DEFAULT (one native-bf16
+    MXU pass) and HIGHEST (#tpu.contract_precision<fp32>, 6-pass fp32
+    emulation); ``lax.Precision.HIGH`` raises NotImplementedError — found
+    by an AOT Mosaic compile (round 3); interpret-mode tests can't see it.
+    ``prec == "high"`` is therefore emulated by hand: bf16 hi/lo operand
+    splits and three native-bf16 passes accumulated in f32 — the same
+    ah@bh + ah@bl + al@bh decomposition XLA's HIGH uses (the dropped al@bl
+    term is ~2^-34 relative). bf16 x bf16 products are exact in the f32
+    accumulator, so the only error is the ~2^-17 operand-split rounding.
+    """
+    if prec == "highest":
+        return jax.lax.dot_general(a, b, dims, precision=_HI,
+                                   preferred_element_type=_F32)
+    d = lambda x, y: jax.lax.dot_general(x, y, dims,
+                                         preferred_element_type=_F32)
+    ah, al = _bf16_split(a)
+    bh, bl = _bf16_split(b)
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
 
 
 # ----------------------------------------------------------------------------
@@ -186,17 +219,27 @@ def _tri_dot(x, *, lower, strict):
     lower+strict=False -> inclusive cumsum; lower+strict -> exclusive;
     upper+strict -> strict suffix sum. The 0/1 triangular constant is built
     in-kernel from two iotas (4 tiny [S,S] vector ops, hoistable); HIGHEST
-    precision keeps the contraction fp32-faithful.
+    precision keeps the contraction fp32-faithful. "high" exploits the
+    mask being bf16-EXACT: two native-bf16 passes (mask @ x_hi + mask @
+    x_lo) whose products are all exact in the f32 accumulator — the only
+    error is the ~2^-17 hi/lo split of x, tighter than a generic HIGH.
     """
     s = x.shape[0]
     r = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
     m = ((c < r) if strict else (c <= r)) if lower else \
         ((c > r) if strict else (c >= r))
-    return jax.lax.dot_general(
-        m.astype(_F32), x, (((1,), (0,)), ((), ())), precision=_SCAN_PREC,
-        preferred_element_type=_F32,
-    )
+    dims = (((1,), (0,)), ((), ()))
+    if _SCAN_PREC == "highest":
+        return jax.lax.dot_general(
+            m.astype(_F32), x, dims, precision=_HI,
+            preferred_element_type=_F32,
+        )
+    mb = m.astype(jnp.bfloat16)
+    xh, xl = _bf16_split(x)
+    d = lambda y: jax.lax.dot_general(mb, y, dims,
+                                      preferred_element_type=_F32)
+    return d(xh) + d(xl)
 
 
 def _cumprod_omb_any(alpha, incl, omb, *, strict):
@@ -354,9 +397,8 @@ def _bwd_chunk_math(attr, px, py, pos, ncon, gc, gt_term, trun, ssuf):
     t_before = t_in * pe
     w = jnp.where(contrib, alpha * t_before, 0.0)
 
-    bdot = jax.lax.dot_general(
-        attr[:, 5:8], gc, (((1,), (0,)), ((), ())), precision=_DOT_PREC,
-        preferred_element_type=_F32,
+    bdot = _mxu_dot(
+        attr[:, 5:8], gc, (((1,), (0,)), ((), ())), _DOT_PREC,
     )  # [S,P]
     wb = w * bdot  # w is already 0 where ~contrib
     s_after = ssuf + _suffix_sum_strict(wb)
@@ -366,9 +408,8 @@ def _bwd_chunk_math(attr, px, py, pos, ncon, gc, gt_term, trun, ssuf):
     ga = g_exp * d_alpha  # zeroed with d_alpha
     sum1 = lambda x: jnp.sum(x, axis=1, keepdims=True)
     d_power = attr[:, 8:9] * ga
-    d_rgb = jax.lax.dot_general(
-        w, gc, (((1,), (1,)), ((), ())), precision=_DOT_PREC,
-        preferred_element_type=_F32,
+    d_rgb = _mxu_dot(
+        w, gc, (((1,), (1,)), ((), ())), _DOT_PREC,
     )  # [S,P] x [3,P] -> [S,3]
     if MOMENT_MXU:
         x0 = px[0:1, 0:1]
@@ -422,9 +463,8 @@ def _moment_grads(attr, d_power, x0f, y0f, basis):
     d_conic for 3-sigma-supported splats, well inside the 2e-3 gradient
     parity tolerances and far below training noise.
     """
-    M = jax.lax.dot_general(
-        d_power, basis, (((1,), (1,)), ((), ())), precision=_MOMENT_PREC,
-        preferred_element_type=_F32,
+    M = _mxu_dot(
+        d_power, basis, (((1,), (1,)), ((), ())), _MOMENT_PREC,
     )  # [S, 8]
     M0, Mx, My = M[:, 0:1], M[:, 1:2], M[:, 2:3]
     Mxx, Mxy, Myy = M[:, 3:4], M[:, 4:5], M[:, 5:6]
@@ -573,9 +613,8 @@ def _fwd_tile_kernel(starts_ref, ends_ref, tid_ref, attr_hbm,
                     attr = abuf[slot, :, ci * s:(ci + 1) * s].T
                     w, contrib, chunk_prod, t_stop, died_now, riota = \
                         _fwd_chunk_math(attr, px, py, t_ref[0], died_ref[:])
-                    color_ref[0] += jax.lax.dot_general(
-                        attr[:, 5:8], w, (((0,), (0,)), ((), ())),
-                        precision=_DOT_PREC, preferred_element_type=_F32,
+                    color_ref[0] += _mxu_dot(
+                        attr[:, 5:8], w, (((0,), (0,)), ((), ())), _DOT_PREC,
                     )
                     t_ref[0] = jnp.where(
                         died_ref[:] > 0.5, t_ref[0],
@@ -837,9 +876,8 @@ def _fwd_kernel(row_ref, blk_ref, tid_ref, attr_ref,
         px, py = _pixel_coords(tid, st.tiles_x, st.tile_w, st.tile_h, p)
         w, contrib, chunk_prod, t_stop, died_now, riota = _fwd_chunk_math(
             attr_ref[:], px, py, t_ref[0], died_ref[:])
-        color_ref[0] += jax.lax.dot_general(
-            attr_ref[:, 5:8], w, (((0,), (0,)), ((), ())),
-            precision=_DOT_PREC, preferred_element_type=_F32,
+        color_ref[0] += _mxu_dot(
+            attr_ref[:, 5:8], w, (((0,), (0,)), ((), ())), _DOT_PREC,
         )
         t_ref[0] = jnp.where(
             died_ref[:] > 0.5, t_ref[0],
