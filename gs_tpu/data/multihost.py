@@ -181,6 +181,27 @@ class BatchSampler:
             by_res.setdefault(res, set()).add(p)
         self.resolutions = sorted(r for r, ps in by_res.items()
                                   if ps == set(procs))
+        # a batch must be same-resolution AND have one owned camera per
+        # feeder, so a resolution some feeder owns no camera of cannot be
+        # sampled — that excludes WHOLE resolution groups, not just single
+        # cameras, and on a mixed-resolution dataset the reference would
+        # still train on them. Fail loud (warn with counts) rather than
+        # silently shrinking the training set; round-robin ownership over a
+        # shuffled index makes this unlikely unless a resolution group is
+        # smaller than the feeder count.
+        excluded = {r: ps for r, ps in by_res.items() if ps != set(procs)}
+        if excluded:
+            for res, ps in sorted(excluded.items()):
+                n_cams = sum(len(v) for (p, r), v in self._members.items()
+                             if r == res)
+                missing = sorted(set(procs) - ps)
+                print(
+                    f"[multihost] WARNING: resolution {res[0]}x{res[1]} "
+                    f"({n_cams} cameras) excluded from training batches — "
+                    f"feeder process(es) {missing} own no camera at it; "
+                    f"the reference trains on all cameras. Consider fewer "
+                    f"processes or uniform resolutions."
+                )
         if not self.resolutions:
             raise ValueError(
                 "no resolution has cameras owned by every feeding process; "

@@ -100,6 +100,12 @@ _DOT_PREC = ("highest"
              if os.environ.get("GS_TPU_DOT_PREC", "high") == "highest"
              else "high")
 
+# env-derived values captured at import so set_formulation can restore the
+# exact requested configuration (not hardcoded defaults) after an A/B flip
+_ENV_FORMULATION = dict(SCAN_MXU=SCAN_MXU, POWER_MXU=POWER_MXU,
+                        MOMENT_MXU=MOMENT_MXU, _SCAN_PREC=_SCAN_PREC,
+                        _MOMENT_PREC=_MOMENT_PREC, _DOT_PREC=_DOT_PREC)
+
 
 def set_formulation(mxu: bool) -> None:
     """Switch the kernel formulation globals at runtime (A/B harnesses).
@@ -109,15 +115,43 @@ def set_formulation(mxu: bool) -> None:
     benches only — training code should pick one via env and stay there
     (mixing formulations across a custom_vjp pair is still consistent,
     both are parity-exact, but invalidates perf attribution).
+
+    ``mxu=True`` restores the env-derived configuration captured at import
+    (so a user's GS_TPU_*_PREC overrides survive an A/B round-trip, with
+    the three MXU gates forced on); ``mxu=False`` is the legacy VPU
+    formulation, with every precision global reset to its legacy value.
     """
     global SCAN_MXU, POWER_MXU, MOMENT_MXU
     global _SCAN_PREC, _MOMENT_PREC, _DOT_PREC
-    SCAN_MXU = POWER_MXU = MOMENT_MXU = mxu
     if mxu:
-        _MOMENT_PREC = "high"
-        _DOT_PREC = "high"
+        SCAN_MXU = POWER_MXU = MOMENT_MXU = True
+        _SCAN_PREC = _ENV_FORMULATION["_SCAN_PREC"]
+        _MOMENT_PREC = _ENV_FORMULATION["_MOMENT_PREC"]
+        _DOT_PREC = _ENV_FORMULATION["_DOT_PREC"]
     else:
+        SCAN_MXU = POWER_MXU = MOMENT_MXU = False
+        _SCAN_PREC = "highest"
+        _MOMENT_PREC = "highest"
         _DOT_PREC = "highest"
+
+
+def get_formulation() -> dict:
+    """Snapshot the live formulation globals (pair with apply_formulation)."""
+    return dict(SCAN_MXU=SCAN_MXU, POWER_MXU=POWER_MXU,
+                MOMENT_MXU=MOMENT_MXU, _SCAN_PREC=_SCAN_PREC,
+                _MOMENT_PREC=_MOMENT_PREC, _DOT_PREC=_DOT_PREC)
+
+
+def apply_formulation(snap: dict) -> None:
+    """Restore a get_formulation() snapshot exactly (A/B harness restore)."""
+    global SCAN_MXU, POWER_MXU, MOMENT_MXU
+    global _SCAN_PREC, _MOMENT_PREC, _DOT_PREC
+    SCAN_MXU = snap["SCAN_MXU"]
+    POWER_MXU = snap["POWER_MXU"]
+    MOMENT_MXU = snap["MOMENT_MXU"]
+    _SCAN_PREC = snap["_SCAN_PREC"]
+    _MOMENT_PREC = snap["_MOMENT_PREC"]
+    _DOT_PREC = snap["_DOT_PREC"]
 
 
 def _interpret() -> bool:
@@ -1038,6 +1072,13 @@ def composite_bwd_pallas(st, residuals, cotangents):
         ublk[jnp.where(dead, j_idx - total_live, 0)].astype(jnp.int32),
         blk,
     )
+    # defense-in-depth: the counts-match argument above requires disjoint,
+    # ascending, chunk-aligned tile ranges (every current caller builds them
+    # that way via binning). If a future caller violated that, a stray
+    # blk == cap_chunks would index one block past the unpadded [b, ATTR_W]
+    # output — clamp so the failure mode is a doubly-written block (wrong
+    # grads, caught by parity tests), never an out-of-bounds write.
+    blk = jnp.minimum(blk, cap_chunks - 1)
 
     # per-tile cotangents, padded with a dummy row for dead chunks
     gc = jnp.concatenate(

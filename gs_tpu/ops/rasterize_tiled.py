@@ -573,7 +573,20 @@ def rasterize_tiled(
     cfg: RasterizeConfig,
     pair_budget: int | None = None,
 ) -> RasterOut:
-    """Full fast path: bin -> gather -> composite (custom VJP) -> untile + bg."""
+    """Full fast path: bin -> gather -> composite (custom VJP) -> untile + bg.
+
+    Precondition: ``conics`` must be POSITIVE DEFINITE (a > 0, c > 0,
+    a*c - b^2 > 0 for each [a, b, c] row). Conics from the projection
+    pipeline always are (the +0.3 screen-space dilation bounds the
+    eigenvalues away from 0). Callers constructing conics by hand must
+    respect this: under the Pallas backend's POWER_MXU formulation (the
+    default) the reference's ``power > 0`` cull is replaced by
+    ``min(power, 0)`` — exactly equivalent for PD conics, but an INDEFINITE
+    conic (which can make power > 0 at distance) would render its splat
+    there while the XLA backend and the reference CUDA kernel cull it —
+    silent backend-dependent output. Run with GS_TPU_POWER_MXU=0 if you
+    truly need the legacy cull semantics for indefinite conics.
+    """
     n = means2d.shape[0]
     tiles_x = -(-width // cfg.tile_w)
     tiles_y = -(-height // cfg.tile_h)
