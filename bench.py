@@ -31,6 +31,8 @@ import dataclasses
 import json
 import math
 import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -140,6 +142,75 @@ def grown_cfg(state, cam, cfg, n):
         cfg, pair_budget_factor=1.05 * num_pairs / n), num_pairs
 
 
+def probe_backend(timeout_s=90):
+    """Probe backend initialization in a SUBPROCESS with a hard timeout.
+
+    The axon tunnel's failure mode is an indefinite hang inside
+    ``jax.devices()`` (seen rounds 3-4); an in-process try/except can't
+    recover from that, and an unguarded call turns the driver's bench
+    capture into a stack trace (BENCH_r03.json, rc=1). Returns the platform
+    string on success, None on hang/error.
+    """
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return None
+    out = r.stdout.strip().splitlines()
+    return out[-1] if r.returncode == 0 and out else None
+
+
+def cpu_sanity_result(reason):
+    """Dead-backend fallback: tiny CPU-mode correctness leg + skip marker.
+
+    Emits the one JSON line the driver expects, marked skipped, with a
+    small CPU render/grad sanity so 'no perf data' is still legibly
+    distinguished from 'broken code'.
+    """
+    jax.config.update("jax_platforms", "cpu")
+    from gs_tpu import cameras
+    from gs_tpu.config import RasterizeConfig
+    from gs_tpu.models import gaussians
+    from gs_tpu.renderer import render
+    from gs_tpu.utils import losses
+
+    # small scene + camera: CPU box has one core; correctness, not perf
+    rng = np.random.default_rng(0)
+    state = gaussians.create_from_pcd(
+        rng.uniform(-2, 2, size=(2048, 3)).astype(np.float32),
+        rng.uniform(0, 1, size=(2048, 3)).astype(np.float32),
+        max_sh_degree=3, capacity=2048)
+    sc = cameras.make_camera(
+        np.eye(3), np.array([0.0, 0.0, 5.0]),
+        fovx=math.radians(70), fovy=math.radians(46), width=256, height=192)
+    cfg = RasterizeConfig(backend="xla", chunk=64, tile_w=16, tile_h=16,
+                          pair_budget_factor=32.0)
+
+    @jax.jit
+    def loss_fn(params):
+        out = render(sc, state.with_params(params), active_sh_degree=3,
+                     bg_color=jnp.zeros(3), cfg=cfg)
+        return losses.l1_loss(out.image, jnp.zeros_like(out.image))
+
+    t0 = time.perf_counter()
+    loss, grads = jax.value_and_grad(loss_fn)(state.params())
+    gsum = float(grads_sum(grads))
+    dt = time.perf_counter() - t0
+    ok = bool(np.isfinite(float(loss)) and np.isfinite(gsum) and gsum != 0.0)
+    print(json.dumps({
+        "metric": f"fwd+bwd pixels/s @{H}p ({N_GAUSS} gaussians, tpu)",
+        "value": 0.0,
+        "unit": "pixels/s",
+        "vs_baseline": 0.0,
+        "skipped": reason,
+        "cpu_sanity_ok": ok,
+        "cpu_sanity_loss": float(loss),
+        "cpu_sanity_compile_plus_step_s": round(dt, 2),
+    }))
+
+
 def main():
     from gs_tpu.config import OptimizationParams, RasterizeConfig
     from gs_tpu.models import densify, optim
@@ -147,6 +218,11 @@ def main():
     from gs_tpu.training import train_step
     from gs_tpu.utils import losses
 
+    platform = probe_backend()
+    if platform is None:
+        cpu_sanity_result("backend unavailable (probe hang/error; "
+                          "axon tunnel down)")
+        return
     platform = jax.devices()[0].platform
     state, cam = make_scene(N_GAUSS, heavy=False)
     target = jnp.zeros((3, H, W), jnp.float32)
@@ -161,31 +237,45 @@ def main():
     tiny = jax.jit(lambda i, prev: prev * 0.5 + i)
     rtt = timed_chain(lambda i, prev: tiny(i, prev), iters=20)
 
+    from gs_tpu.ops import rasterize_pallas as rp
+
     dt = bench_fwd_bwd(state, cam, cfg, target, rtt)
-    kernel_config, alt_ms = "mxu", None
+    base_is_mxu, base_mode = rp.SCAN_MXU, rp.KERNEL_MODE
+    kernel_config = f"{'mxu' if base_is_mxu else 'vpu'}-{base_mode}"
+    formulation_ms = {kernel_config: round(dt * 1e3, 2)}
     if platform == "tpu" and cfg.backend in ("auto", "pallas") and \
             os.environ.get("GS_TPU_BENCH_AB", "1") != "0":
-        # A/B the two kernel formulations for the headline and keep the
-        # faster (the round-3 MXU default was flipped on analysis while
-        # the dev tunnel was down — this keeps the recorded number honest
-        # in either direction; the chosen config is reported).
-        from gs_tpu.ops import rasterize_pallas as rp
-
-        was_mxu = rp.SCAN_MXU
-        rp.set_formulation(not was_mxu)
-        try:
-            dt_alt = bench_fwd_bwd(state, cam, cfg, target, rtt)
-        finally:
-            rp.set_formulation(was_mxu)
-        names = ("mxu", "vpu") if was_mxu else ("vpu", "mxu")
-        if dt_alt < dt:
-            alt_ms = dt * 1e3
-            dt = dt_alt
-            kernel_config = names[1]
-            rp.set_formulation(not was_mxu)  # keep winner for later legs
-        else:
-            alt_ms = dt_alt * 1e3
-            kernel_config = names[0]
+        # A/B the kernel formulations for the headline and keep the fastest
+        # (the round-3 MXU default was flipped on analysis while the dev
+        # tunnel was down — this keeps the recorded number honest in either
+        # direction; every candidate's time is reported). Candidates: the
+        # other MXU/VPU formulation at the current kernel mode, and the
+        # other kernel mode (chunk-grid BlockSpec pipeline vs tile-grid
+        # manual DMA) at the current formulation.
+        results = {kernel_config: (dt, cfg)}
+        other_mode = "tile" if base_mode == "chunk" else "chunk"
+        candidates = [(not base_is_mxu, base_mode),
+                      (base_is_mxu, other_mode)]
+        for mxu, mode in candidates:
+            rp.set_formulation(mxu)
+            rp.KERNEL_MODE = mode
+            ccfg = cfg
+            if mode != base_mode:
+                # tile-grid binning aligns ranges to lcm(chunk,128): regrow
+                # so the candidate is timed untruncated at its own layout
+                ccfg, _ = grown_cfg(
+                    state, cam,
+                    dataclasses.replace(cfg, pair_budget_factor=1.0), N_GAUSS)
+            name = f"{'mxu' if mxu else 'vpu'}-{mode}"
+            results[name] = (bench_fwd_bwd(state, cam, ccfg, target, rtt),
+                             ccfg)
+        # leave the winner's configuration live for the remaining legs
+        kernel_config = min(results, key=lambda k: results[k][0])
+        dt, cfg = results[kernel_config]
+        win_mxu, win_mode = kernel_config.split("-")
+        rp.set_formulation(win_mxu == "mxu")
+        rp.KERNEL_MODE = win_mode
+        formulation_ms = {k: round(v[0] * 1e3, 2) for k, v in results.items()}
     pix_per_s = H * W / dt
 
     # forward-only render (the reference headline's own shape)
@@ -228,7 +318,7 @@ def main():
         "pair_budget_factor": cfg.pair_budget_factor,
         "tunnel_rtt_ms": round(rtt * 1e3, 2),
         "kernel_config": kernel_config,
-        "alt_fwd_bwd_ms": round(alt_ms, 2) if alt_ms else None,
+        "formulation_ms": formulation_ms,
     }
 
     if RUN_HEAVY:
