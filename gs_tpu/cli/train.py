@@ -44,6 +44,11 @@ def main(argv=None):
     parser.add_argument("--disable_viewer", action="store_true", default=False)
     parser.add_argument("--raster_backend", type=str, default="auto",
                         choices=["auto", "pallas", "xla", "oracle"])
+    parser.add_argument("--kernel_autotune", type=str, default="on",
+                        choices=["on", "off"],
+                        help="time the kernel formulations on the real "
+                             "scene at startup and keep the winner "
+                             "(TPU+pallas only; see gs_tpu.ops.autotune)")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="write a jax.profiler trace of iterations 50-60")
     parser.add_argument("--data_parallel", type=int, default=1,
@@ -115,7 +120,8 @@ def main(argv=None):
             visible_budget=args.visible_budget,
         )
 
-    raster_cfg = RasterizeConfig(backend=args.raster_backend)
+    raster_cfg = RasterizeConfig(backend=args.raster_backend,
+                                 autotune=args.kernel_autotune == "on")
     run_training(
         scene,
         opt,

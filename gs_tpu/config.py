@@ -102,6 +102,11 @@ class RasterizeConfig:
     # .effective_ends): output-identical, large compositing savings on
     # opaque scenes; off only for kernel debugging
     truncate_tiles: bool = True
+    # startup kernel-formulation autotune (gs_tpu.ops.autotune): time the
+    # MXU/VPU formulations and chunk/tile kernel modes on the real scene at
+    # training start and keep the winner. Only active on a real TPU with
+    # the Pallas backend; costs ~1 extra compile per candidate.
+    autotune: bool = True
 
 
 @dataclass(frozen=True)

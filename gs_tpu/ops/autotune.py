@@ -1,0 +1,125 @@
+"""Startup kernel-formulation autotune: measure, don't guess.
+
+The Pallas compositing kernels ship two formulation families (MXU
+contractions vs legacy VPU scans — ``rasterize_pallas.SCAN_MXU`` et al.)
+and two kernel modes (chunk-grid BlockSpec pipelining vs tile-grid manual
+DMA — ``rasterize_pallas.KERNEL_MODE``). Which wins depends on the scene
+shape (chunk size, pairs-per-splat, tile occupancy); round 3 shipped a
+default flipped on analysis alone while the dev TPU was unreachable. This
+module removes that class of risk: at training start, time each candidate
+on the REAL scene for a few steps and set the module globals to the
+winner. Cost: one extra jit compile per non-default candidate (~1 min on
+TPU, amortized over a 30k-iteration run); skipped entirely off-TPU or for
+non-Pallas backends.
+
+No reference analog (the CUDA rasterizer has one formulation); this is
+the TPU-native answer to "defaults regress on some shapes".
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+# (name, mxu_formulation, kernel_mode) — the same candidate set bench.py
+# A/Bs for its headline
+CANDIDATES = (
+    ("mxu-chunk", True, "chunk"),
+    ("vpu-chunk", False, "chunk"),
+    ("mxu-tile", True, "tile"),
+)
+
+
+def _default_timer(state, camera, raster_cfg, steps: int) -> float:
+    """Median-free chained timing of fwd+bwd at the real scene shape.
+
+    Chained dependent dispatches (each step consumes the previous loss) so
+    the measurement is robust to the dev tunnel's ~38 ms host-sync RTT;
+    returns seconds/step including neither compile nor the first warmup
+    step.
+    """
+    from gs_tpu.renderer import render
+    from gs_tpu.utils import losses
+
+    target = jnp.zeros((3, camera.height, camera.width), jnp.float32)
+
+    @jax.jit
+    def fwd_bwd(state, prev):
+        bg = jnp.zeros((3,), jnp.float32) + 1e-30 * prev
+
+        def loss_fn(params):
+            out = render(camera, state.with_params(params),
+                         active_sh_degree=state.max_sh_degree,
+                         bg_color=bg, cfg=raster_cfg)
+            return losses.l1_loss(out.image, target)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params())
+        return loss + 1e-30 * sum(jnp.sum(g) for g in jax.tree.leaves(grads))
+
+    s = fwd_bwd(state, jnp.float32(0.0))
+    float(s)  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        s = fwd_bwd(state, s)
+    float(s)
+    return (time.perf_counter() - t0) / steps
+
+
+def autotune_formulation(
+    state,
+    camera,
+    raster_cfg,
+    *,
+    steps: int = 3,
+    timer: Callable | None = None,
+    force: bool = False,
+    log: Callable[[str], None] = print,
+) -> dict | None:
+    """Time each kernel candidate at the real scene shape; keep the winner.
+
+    Sets the ``rasterize_pallas`` formulation globals to the fastest
+    candidate (they are consumed at trace time, so the training step built
+    afterwards picks them up). Returns ``{candidate: seconds}`` plus a
+    ``"winner"`` key, or None when skipped (non-Pallas backend, or not on
+    a real TPU — interpret-mode timings are meaningless).
+
+    ``timer``/``force`` exist for the plumbing test: inject a fake timer
+    and bypass the backend gate.
+    """
+    from gs_tpu.ops import rasterize_pallas as rp
+    from gs_tpu.ops.rasterize_tiled import resolve_backend
+
+    if not force:
+        if resolve_backend(raster_cfg.backend) != "pallas":
+            return None
+        if jax.default_backend() != "tpu":
+            return None
+    timer = timer or _default_timer
+
+    snap = rp.get_formulation()
+    snap_mode = rp.KERNEL_MODE
+    results: dict = {}
+    try:
+        for name, mxu, mode in CANDIDATES:
+            rp.set_formulation(mxu)
+            rp.KERNEL_MODE = mode
+            results[name] = timer(state, camera, raster_cfg, steps)
+    except Exception:
+        # a candidate failed to compile/run: restore the configured
+        # formulation and train with it rather than dying at startup
+        rp.apply_formulation(snap)
+        rp.KERNEL_MODE = snap_mode
+        raise
+    winner = min(results, key=results.get)
+    _, mxu, mode = next(c for c in CANDIDATES if c[0] == winner)
+    rp.set_formulation(mxu)
+    rp.KERNEL_MODE = mode
+    results["winner"] = winner
+    log("[autotune] kernel formulation: "
+        + ", ".join(f"{k}={v * 1e3:.1f}ms" for k, v in results.items()
+                    if k != "winner")
+        + f" -> {winner}")
+    return results

@@ -135,6 +135,17 @@ def run_training_parallel(
         spatial_lr_scale=scene.cameras_extent,
         max_sh_degree=max_sh_degree,
     )
+
+    if raster_cfg.autotune and jax.process_count() == 1:
+        # same kernels run per-device inside the shard_map'd step; a
+        # single-device timing at the real scene shape picks the right
+        # formulation (skipped multi-process: the timing render would run
+        # un-synchronized on each host)
+        from gs_tpu.ops.autotune import autotune_formulation
+
+        tune_cams = list(scene.get_train_cameras())
+        if tune_cams:
+            autotune_formulation(state, tune_cams[0], raster_cfg)
     first_iter = 0
     if start_checkpoint:
         ts = ckpt_mod.load_train_state(start_checkpoint)

@@ -269,6 +269,15 @@ def run_training(
         [1.0, 1.0, 1.0] if white_background else [0.0, 0.0, 0.0], jnp.float32
     )
 
+    if raster_cfg.autotune:
+        from gs_tpu.ops.autotune import autotune_formulation
+
+        tune_cams = list(scene.get_train_cameras())
+        if tune_cams:
+            # no-op off-TPU / non-pallas; sets the rasterize_pallas globals
+            # to the measured winner before the step below first traces
+            autotune_formulation(ts.state, tune_cams[0], raster_cfg)
+
     viewpoint_stack: list = []
     key = jax.random.PRNGKey(seed)
     ema_loss: float | None = None

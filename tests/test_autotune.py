@@ -1,0 +1,82 @@
+"""Plumbing tests for the startup kernel-formulation autotune."""
+
+import jax
+import numpy as np
+import pytest
+
+from gs_tpu.config import RasterizeConfig
+from gs_tpu.ops import autotune, rasterize_pallas as rp
+
+
+@pytest.fixture(autouse=True)
+def restore_formulation():
+    snap, mode = rp.get_formulation(), rp.KERNEL_MODE
+    yield
+    rp.apply_formulation(snap)
+    rp.KERNEL_MODE = mode
+
+
+def _fake_timer(times):
+    calls = []
+
+    def timer(state, camera, cfg, steps):
+        name = (f"{'mxu' if rp.SCAN_MXU else 'vpu'}-{rp.KERNEL_MODE}")
+        calls.append(name)
+        return times[name]
+
+    return timer, calls
+
+
+def test_picks_winner_and_sets_globals():
+    timer, calls = _fake_timer(
+        {"mxu-chunk": 0.05, "vpu-chunk": 0.02, "mxu-tile": 0.08})
+    res = autotune.autotune_formulation(
+        None, None, RasterizeConfig(backend="pallas"),
+        timer=timer, force=True, log=lambda s: None)
+    assert res["winner"] == "vpu-chunk"
+    assert calls == ["mxu-chunk", "vpu-chunk", "mxu-tile"]
+    assert rp.SCAN_MXU is False and rp.KERNEL_MODE == "chunk"
+
+
+def test_tile_winner_sets_kernel_mode():
+    timer, _ = _fake_timer(
+        {"mxu-chunk": 0.05, "vpu-chunk": 0.06, "mxu-tile": 0.01})
+    res = autotune.autotune_formulation(
+        None, None, RasterizeConfig(backend="pallas"),
+        timer=timer, force=True, log=lambda s: None)
+    assert res["winner"] == "mxu-tile"
+    assert rp.SCAN_MXU is True and rp.KERNEL_MODE == "tile"
+
+
+def test_skips_off_tpu_and_non_pallas():
+    boom = lambda *a: (_ for _ in ()).throw(AssertionError("timed"))
+    # xla backend: skipped regardless of platform
+    assert autotune.autotune_formulation(
+        None, None, RasterizeConfig(backend="xla"), timer=boom) is None
+    # pallas backend but CPU host (this suite): interpret timings are
+    # meaningless -> skipped
+    if jax.default_backend() != "tpu":
+        assert autotune.autotune_formulation(
+            None, None, RasterizeConfig(backend="pallas"), timer=boom) is None
+
+
+def test_failure_restores_configured_formulation():
+    def timer(state, camera, cfg, steps):
+        raise RuntimeError("compile failed")
+
+    before, mode = rp.get_formulation(), rp.KERNEL_MODE
+    with pytest.raises(RuntimeError):
+        autotune.autotune_formulation(
+            None, None, RasterizeConfig(backend="pallas"),
+            timer=timer, force=True, log=lambda s: None)
+    assert rp.get_formulation() == before and rp.KERNEL_MODE == mode
+
+
+def test_formulation_snapshot_roundtrip():
+    # set_formulation(True) must restore env-derived precisions (the
+    # bench A/B restore bug, ADVICE r3); snapshot API is exact
+    snap = rp.get_formulation()
+    rp.set_formulation(False)
+    assert rp.get_formulation()["_DOT_PREC"] == "highest"
+    rp.apply_formulation(snap)
+    assert rp.get_formulation() == snap
