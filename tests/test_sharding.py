@@ -212,6 +212,56 @@ class TestGaussianSharded:
         assert float(s_stats.denom.max()) >= 2.0
 
 
+class TestPallasUnderShardMap:
+    """Pallas kernels INSIDE the shard_map'd steps (interpret mode on CPU).
+
+    On real TPU hardware ``resolve_backend('auto')`` places pallas_call
+    inside the sharded train step — a composition none of the
+    backend='xla' mesh tests exercise. Run it here in interpret mode so the
+    first multi-chip hardware run is not its first test anywhere. (Mosaic
+    lowering of the same composition is covered by
+    ``benchmarks/aot_check.py --sharded``.) Interpret-mode pallas is
+    Python-speed: keep the scene tiny.
+    """
+
+    PCFG = RasterizeConfig(backend="pallas", chunk=32, tile_w=16, tile_h=16)
+
+    def _run(self, make_step, cfg):
+        st, cam = _scene()
+        opt_cfg = OptimizationParams()
+        mesh = mesh_mod.make_mesh(data=1)
+        step = make_step(mesh, opt_cfg, cfg, H, W, st.capacity, 1)
+        adam = optim.init(st.params())
+        stats = densify.DensifyStats.zeros(st.capacity)
+        cam_batch = cameras.stack_cameras([cam])
+        s, a, d, m = step(st, adam, stats, cam_batch, jnp.zeros(3),
+                          jnp.int32(0), jnp.float32(1.0), jnp.bool_(True))
+        return s, a, d, m
+
+    def test_gauss_sharded_pallas_matches_xla(self):
+        from gs_tpu.parallel.gauss_sharded import make_gauss_sharded_train_step
+
+        p_state, p_adam, p_stats, p_m = self._run(
+            make_gauss_sharded_train_step, self.PCFG)
+        x_state, x_adam, x_stats, x_m = self._run(
+            make_gauss_sharded_train_step, RCFG)
+        np.testing.assert_allclose(float(p_m["loss"]), float(x_m["loss"]),
+                                   rtol=2e-4)
+        np.testing.assert_allclose(p_state.xyz, x_state.xyz,
+                                   rtol=1e-3, atol=1e-6)
+        np.testing.assert_allclose(p_stats.xyz_grad_accum,
+                                   x_stats.xyz_grad_accum,
+                                   rtol=2e-3, atol=1e-7)
+        assert p_state.xyz.sharding.spec[0] == mesh_mod.SHARD_AXIS
+
+    def test_tile_sharded_pallas_matches_xla(self):
+        p = self._run(make_sharded_train_step, self.PCFG)
+        x = self._run(make_sharded_train_step, RCFG)
+        np.testing.assert_allclose(float(p[3]["loss"]), float(x[3]["loss"]),
+                                   rtol=2e-4)
+        np.testing.assert_allclose(p[0].xyz, x[0].xyz, rtol=1e-3, atol=1e-6)
+
+
 class TestShardedDensify:
     """Densify/prune on the gauss-sharded layout == replicated densify."""
 
