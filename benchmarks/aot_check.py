@@ -71,6 +71,12 @@ VARIANTS = {
     "chunk32": ({}, {"chunk": 32}),
     "chunk128": ({}, {"chunk": 128}),
     "tile_grid": ({"KERNEL_MODE": "tile"}, {}),
+    # big-tile candidates for the round-4 sweep: every pair-proportional
+    # data-movement stage scales with tile count, so if the MXU formulation
+    # cheapened per-pixel compute the optimum moves to bigger tiles. These
+    # stress VMEM ([chunk, tile_w*tile_h] blocks) — prove they fit/lower.
+    "tile96x64_c32": ({}, {"chunk": 32, "tile_w": 96, "tile_h": 64}),
+    "tile128x64_c32": ({}, {"chunk": 32, "tile_w": 128, "tile_h": 64}),
 }
 
 
