@@ -76,19 +76,27 @@ def autotune_formulation(
     steps: int = 3,
     timer: Callable | None = None,
     force: bool = False,
+    tune_chunk: bool = True,
     log: Callable[[str], None] = print,
 ) -> dict | None:
     """Time each kernel candidate at the real scene shape; keep the winner.
 
-    Sets the ``rasterize_pallas`` formulation globals to the fastest
-    candidate (they are consumed at trace time, so the training step built
-    afterwards picks them up). Returns ``{candidate: seconds}`` plus a
-    ``"winner"`` key, or None when skipped (non-Pallas backend, or not on
-    a real TPU — interpret-mode timings are meaningless).
+    Phase 1 picks the formulation (MXU/VPU x chunk-grid/tile-grid); phase 2
+    sweeps the chunk size {32, 128} around the configured one on the
+    winning formulation (SCAN_MXU's triangular contraction grows with the
+    chunk, so the optimum moves with the formulation). Sets the
+    ``rasterize_pallas`` globals to the fastest candidate (they are
+    consumed at trace time, so the training step built afterwards picks
+    them up) and returns ``{candidate: seconds}`` plus ``"winner"`` and
+    ``"cfg"`` (the raster config to train with — differs from the input
+    only in ``chunk``). Returns None when skipped (non-Pallas backend, or
+    not on a real TPU — interpret-mode timings are meaningless).
 
     ``timer``/``force`` exist for the plumbing test: inject a fake timer
     and bypass the backend gate.
     """
+    import dataclasses
+
     from gs_tpu.ops import rasterize_pallas as rp
     from gs_tpu.ops.rasterize_tiled import resolve_backend
 
@@ -107,19 +115,30 @@ def autotune_formulation(
             rp.set_formulation(mxu)
             rp.KERNEL_MODE = mode
             results[name] = timer(state, camera, raster_cfg, steps)
+        winner = min(results, key=results.get)
+        _, mxu, mode = next(c for c in CANDIDATES if c[0] == winner)
+        rp.set_formulation(mxu)
+        rp.KERNEL_MODE = mode
+        best_cfg = raster_cfg
+        if tune_chunk:
+            for chunk in (32, 128):
+                if chunk == raster_cfg.chunk:
+                    continue
+                ccfg = dataclasses.replace(raster_cfg, chunk=chunk)
+                name = f"{winner}-c{chunk}"
+                results[name] = timer(state, camera, ccfg, steps)
+                if results[name] < results[winner]:
+                    winner, best_cfg = name, ccfg
     except Exception:
         # a candidate failed to compile/run: restore the configured
         # formulation and train with it rather than dying at startup
         rp.apply_formulation(snap)
         rp.KERNEL_MODE = snap_mode
         raise
-    winner = min(results, key=results.get)
-    _, mxu, mode = next(c for c in CANDIDATES if c[0] == winner)
-    rp.set_formulation(mxu)
-    rp.KERNEL_MODE = mode
     results["winner"] = winner
+    results["cfg"] = best_cfg
     log("[autotune] kernel formulation: "
         + ", ".join(f"{k}={v * 1e3:.1f}ms" for k, v in results.items()
-                    if k != "winner")
+                    if k not in ("winner", "cfg"))
         + f" -> {winner}")
     return results

@@ -145,7 +145,9 @@ def run_training_parallel(
 
         tune_cams = list(scene.get_train_cameras())
         if tune_cams:
-            autotune_formulation(state, tune_cams[0], raster_cfg)
+            tuned = autotune_formulation(state, tune_cams[0], raster_cfg)
+            if tuned is not None:
+                raster_cfg = tuned["cfg"]
     first_iter = 0
     if start_checkpoint:
         ts = ckpt_mod.load_train_state(start_checkpoint)

@@ -276,7 +276,9 @@ def run_training(
         if tune_cams:
             # no-op off-TPU / non-pallas; sets the rasterize_pallas globals
             # to the measured winner before the step below first traces
-            autotune_formulation(ts.state, tune_cams[0], raster_cfg)
+            tuned = autotune_formulation(ts.state, tune_cams[0], raster_cfg)
+            if tuned is not None:
+                raster_cfg = tuned["cfg"]
 
     viewpoint_stack: list = []
     key = jax.random.PRNGKey(seed)

@@ -32,8 +32,9 @@ def test_picks_winner_and_sets_globals():
         {"mxu-chunk": 0.05, "vpu-chunk": 0.02, "mxu-tile": 0.08})
     res = autotune.autotune_formulation(
         None, None, RasterizeConfig(backend="pallas"),
-        timer=timer, force=True, log=lambda s: None)
+        timer=timer, force=True, tune_chunk=False, log=lambda s: None)
     assert res["winner"] == "vpu-chunk"
+    assert res["cfg"].chunk == 64
     assert calls == ["mxu-chunk", "vpu-chunk", "mxu-tile"]
     assert rp.SCAN_MXU is False and rp.KERNEL_MODE == "chunk"
 
@@ -43,9 +44,24 @@ def test_tile_winner_sets_kernel_mode():
         {"mxu-chunk": 0.05, "vpu-chunk": 0.06, "mxu-tile": 0.01})
     res = autotune.autotune_formulation(
         None, None, RasterizeConfig(backend="pallas"),
-        timer=timer, force=True, log=lambda s: None)
+        timer=timer, force=True, tune_chunk=False, log=lambda s: None)
     assert res["winner"] == "mxu-tile"
     assert rp.SCAN_MXU is True and rp.KERNEL_MODE == "tile"
+
+
+def test_chunk_phase_picks_faster_chunk():
+    def timer(state, camera, cfg, steps):
+        name = f"{'mxu' if rp.SCAN_MXU else 'vpu'}-{rp.KERNEL_MODE}"
+        base = {"mxu-chunk": 0.05, "vpu-chunk": 0.07, "mxu-tile": 0.08}[name]
+        # chunk 32 is 2x faster for the winning formulation
+        return base * (0.5 if cfg.chunk == 32 else 1.0)
+
+    res = autotune.autotune_formulation(
+        None, None, RasterizeConfig(backend="pallas"),
+        timer=timer, force=True, log=lambda s: None)
+    assert res["winner"] == "mxu-chunk-c32"
+    assert res["cfg"].chunk == 32
+    assert rp.SCAN_MXU is True and rp.KERNEL_MODE == "chunk"
 
 
 def test_skips_off_tpu_and_non_pallas():
