@@ -275,6 +275,20 @@ def main():
         win_mxu, win_mode = kernel_config.split("-")
         rp.set_formulation(win_mxu == "mxu")
         rp.KERNEL_MODE = win_mode
+        # scan-precision probe on an MXU winner: _tri_dot "high" runs the
+        # same triangular contraction in 2 exact-mask bf16 passes instead
+        # of HIGHEST's 6-pass fp32 emulation (x-split error ~2^-17, far
+        # inside training tolerances; parity-covered in
+        # tests/test_pallas_variants.py)
+        if win_mxu == "mxu" and rp._SCAN_PREC == "highest":
+            rp._SCAN_PREC = "high"
+            name = f"{kernel_config}-sphigh"
+            results[name] = (bench_fwd_bwd(state, cam, cfg, target, rtt), cfg)
+            if results[name][0] < dt:
+                dt = results[name][0]
+                kernel_config = name
+            else:
+                rp._SCAN_PREC = "highest"
         formulation_ms = {k: round(v[0] * 1e3, 2) for k, v in results.items()}
     pix_per_s = H * W / dt
 

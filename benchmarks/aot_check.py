@@ -67,6 +67,7 @@ VARIANTS = {
     "power_off": ({"POWER_MXU": False}, {}),
     "moment_off": ({"MOMENT_MXU": False}, {}),
     "dot_highest": ({"_DOT_PREC": "highest"}, {}),
+    "scan_high": ({"_SCAN_PREC": "high"}, {}),
     "vpu_legacy": ("legacy", {}),
     "chunk32": ({}, {"chunk": 32}),
     "chunk128": ({}, {"chunk": 128}),

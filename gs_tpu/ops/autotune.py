@@ -120,6 +120,20 @@ def autotune_formulation(
         rp.set_formulation(mxu)
         rp.KERNEL_MODE = mode
         best_cfg = raster_cfg
+        # phase 1.5: scan-contraction precision on an MXU winner. _tri_dot
+        # "high" is the same triangular matmul in 2 exact-mask bf16 passes
+        # instead of HIGHEST's 6-pass fp32 emulation (x-split error ~2^-17,
+        # far inside training tolerances; parity combo in
+        # tests/test_pallas_variants.py) — 3 tri contractions per fwd+bwd
+        # make this one of the larger single knobs.
+        if mxu and rp._SCAN_PREC == "highest":
+            rp._SCAN_PREC = "high"
+            name = f"{winner}-sphigh"
+            results[name] = timer(state, camera, raster_cfg, steps)
+            if results[name] < results[winner]:
+                winner = name
+            else:
+                rp._SCAN_PREC = "highest"
         if tune_chunk:
             for chunk in (32, 128):
                 if chunk == raster_cfg.chunk:

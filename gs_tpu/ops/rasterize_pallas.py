@@ -276,25 +276,32 @@ def _tri_dot(x, *, lower, strict):
     return d(xh) + d(xl)
 
 
-def _cumprod_omb_any(alpha, incl, omb, *, strict):
+def _cumprod_omb_any(alpha, incl, omb=None, *, strict):
     """Prefix product of omb = where(incl, 1-alpha, 1) along axis 0.
 
     MXU variant (SCAN_MXU): exp of a triangular-matmul cumsum of
     log1p(-alpha_masked) — log1p on the UNROUNDED -alpha keeps the small-
     alpha precision that forming 1-alpha first would discard, and masked
     rows contribute an exact 0.0 (prefixes stay exactly 1).
+
+    ``omb`` may be omitted by callers that don't otherwise need it (the
+    forward under SCAN_MXU): the legacy path builds it on demand, the MXU
+    path never touches it — saving its two [S,P] passes.
     """
     if SCAN_MXU:
         la = jnp.log1p(jnp.where(incl, -alpha, 0.0))
         return jnp.exp(_tri_dot(la, lower=True, strict=strict))
+    if omb is None:
+        omb = jnp.where(incl, 1.0 - alpha, 1.0)
     return _cumprod_excl(omb) if strict else _cumprod_incl(omb)
 
 
 def _chunk_alpha(attr, px, py):
     """alpha/power for one chunk: attr[S, ATTR_W] vs px/py[1,P].
 
-    Also returns g_exp = exp(power): the backward chain needs it and
-    recomputing the transcendental is a whole wasted [S,P] pass.
+    Also returns g_exp = exp(power) and au = opac * g_exp (the unclamped
+    alpha): the backward chain needs both and recomputing either is a
+    whole wasted [S,P] pass.
     """
     dx = attr[:, 0:1] - px
     dy = attr[:, 1:2] - py
@@ -303,8 +310,9 @@ def _chunk_alpha(attr, px, py):
         - attr[:, 3:4] * dx * dy
     )
     g_exp = jnp.exp(power)
-    alpha = jnp.minimum(ALPHA_MAX, attr[:, 8:9] * g_exp)
-    return alpha, power, dx, dy, g_exp
+    au = attr[:, 8:9] * g_exp
+    alpha = jnp.minimum(ALPHA_MAX, au)
+    return alpha, power, dx, dy, g_exp, au
 
 
 
@@ -352,77 +360,94 @@ def _chunk_alpha_mxu(attr, px, py):
         0.0,
     )
     g_exp = jnp.exp(power)
-    alpha = jnp.minimum(ALPHA_MAX, attr[:, 8:9] * g_exp)
-    return alpha, g_exp
+    au = attr[:, 8:9] * g_exp
+    alpha = jnp.minimum(ALPHA_MAX, au)
+    return alpha, g_exp, au
 
 
 def _fwd_chunk_math(attr, px, py, t_in, died_in):
     """Shared forward-chunk compositing algebra (math of _forward_chunk).
 
-    Pass-count-tuned (round 3): the per-pixel "died strictly before splat i"
-    test is restated via the FIRST-stop row index (one masked min-reduce)
-    instead of an exclusive [S,P] cumsum over stop flags (7 log-step
-    passes), and the stop test reuses the inclusive cumprod directly
-    (t_after = t_in * cp == t_before * (1-alpha) inside ``incl``). Output
-    is identical: only rows at/after the first stop (or pixels dead on
-    entry) are excluded, exactly as the cumsum formulation.
+    Pass-count-tuned (rounds 3-4); every rewrite below is value-EXACT
+    (same products, same rounding) vs the naive formulation:
+      * the per-pixel "died strictly before splat i" test rides the
+        FIRST-stop row index (one masked min-reduce) instead of an
+        exclusive [S,P] cumsum over stop flags (7 log-step passes);
+      * t_before is t_after shifted down one row with a t_in fill
+        (t_before_i = t_in * cp_{i-1} either way) — drops a shift+mul;
+      * ``contrib = incl & (riota < fsp)``: rows before the first stop
+        can't be stop rows (fsp is the min), the row at fsp is excluded
+        by <, so the explicit ``~stop &`` term is redundant;
+      * t_stop selects on riota == fsp alone (that row IS the first stop
+        whenever one exists; when none does, died_now gates it off);
+      * the last-contributor index reduces riota itself ([S,P] once) and
+        adds the chunk's base offset on the [1,P] result — see callers.
+      * omb is never materialized under SCAN_MXU (log-domain scan).
 
     Returns (w [S,P] blend weights, contrib mask, chunk_prod [1,P],
-    t_stop [1,P], died_now [1,P], riota [S,P] row iota for pos bookkeeping).
+    t_stop [1,P], died_now [1,P], last_c [1,P] last contributing row
+    index within the chunk, -1 where none).
     """
     s = attr.shape[0]
     if POWER_MXU:
-        alpha, _ = _chunk_alpha_mxu(attr, px, py)
+        alpha, _, _ = _chunk_alpha_mxu(attr, px, py)
         incl = alpha >= ALPHA_SKIP  # power clamped <= 0 inside
     else:
-        alpha, power, _, _, _ = _chunk_alpha(attr, px, py)
+        alpha, power, _, _, _, _ = _chunk_alpha(attr, px, py)
         incl = (alpha >= ALPHA_SKIP) & (power <= 0.0)
-    omb = jnp.where(incl, 1.0 - alpha, 1.0)
-    cp = _cumprod_omb_any(alpha, incl, omb, strict=False)
+    cp = _cumprod_omb_any(alpha, incl, strict=False)
     t_after = t_in * cp
-    t_before = t_in * _shift_down(cp, 1, 1.0)
+    t_before = jnp.concatenate([t_in, t_after[:-1]], axis=0)
     stop = incl & (t_after < T_EPS)
-    riota = jax.lax.broadcasted_iota(jnp.int32, (s, p_ := alpha.shape[1]), 0)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (s, alpha.shape[1]), 0)
     fsp = jnp.min(jnp.where(stop, riota, s), axis=0, keepdims=True)
     alive_in = died_in < 0.5
-    contrib = incl & ~stop & (riota <= fsp) & alive_in
+    contrib = incl & (riota < fsp) & alive_in
     w = jnp.where(contrib, alpha * t_before, 0.0)
     # T after the chunk without a second cumprod: a stopping pixel ends at
     # T BEFORE its first stop; otherwise T *= full chunk product. Pixels
     # dead on entry keep their T (caller's outer select).
-    t_stop = jnp.max(jnp.where(stop & (riota == fsp), t_before, 0.0),
+    t_stop = jnp.max(jnp.where(riota == fsp, t_before, 0.0),
                      axis=0, keepdims=True)
     died_now = (fsp < s).astype(_F32)
-    return w, contrib, cp[s - 1:s], t_stop, died_now, riota
+    last_c = jnp.max(jnp.where(contrib, riota, -1), axis=0, keepdims=True)
+    return w, contrib, cp[s - 1:s], t_stop, died_now, last_c
 
 
-def _bwd_chunk_math(attr, px, py, pos, ncon, gc, gt_term, trun, ssuf):
+def _bwd_chunk_math(attr, px, py, base, ncon, gc, gt_term, trun, ssuf):
     """Shared reverse-chunk gradient algebra (math of _backward_chunk).
 
-    Pass-count-tuned (round 3): the per-splat conic constants factor out of
-    the pixel reductions (sum_P (ca*dx+cb*dy)*d_power = ca*sum(dx*d_power) +
-    cb*sum(dy*d_power) since ca/cb are constant along P) — 5 multiply
+    Pass-count-tuned (rounds 3-4): the per-splat conic constants factor out
+    of the pixel reductions (sum_P (ca*dx+cb*dy)*d_power = ca*sum(dx*d_power)
+    + cb*sum(dy*d_power) since ca/cb are constant along P) — 5 multiply
     passes + 5 reductions instead of ~16 passes; the [S,P] transmittance
     division becomes a prefix-product multiply (one [1,P] division); factors
-    that are already zero skip their selects; g_exp*d_alpha is computed
-    once; the chunk's wb total reuses the suffix sum's first row. Bitwise
-    output differs only in rounding order; same derivation.
+    that are already zero skip their selects; the chunk's wb total reuses
+    the suffix sum's first row. Round 4: the contribution test compares the
+    row iota against the [1,P] local threshold ncon - base instead of
+    building pos = base + iota (drops an [S,P] int add — ``base`` is the
+    chunk's first global pair index); d_power multiplies the unclamped
+    alpha au = opac*g_exp against d_alpha directly (one pass instead of
+    two; same chain — the reference also ignores the 0.99 cap here);
+    dx/dy are only formed on the non-MOMENT path that consumes them.
+    Bitwise output differs only in rounding order; same derivation.
 
     Returns ([7 gradient column blocks], new_trun [1,P], new_ssuf [1,P]).
     """
     s = attr.shape[0]
     if POWER_MXU:
         # the mask must reconstruct the forward's EXACT incl (same power
-        # rounding), so the same MXU contraction; dx/dy stay direct (the
-        # moment chains need them anyway)
-        alpha, g_exp = _chunk_alpha_mxu(attr, px, py)
-        dx = attr[:, 0:1] - px
-        dy = attr[:, 1:2] - py
+        # rounding), so the same MXU contraction
+        alpha, g_exp, au = _chunk_alpha_mxu(attr, px, py)
         incl = alpha >= ALPHA_SKIP
+        if not MOMENT_MXU:
+            dx = attr[:, 0:1] - px
+            dy = attr[:, 1:2] - py
     else:
-        alpha, power, dx, dy, g_exp = _chunk_alpha(attr, px, py)
+        alpha, power, dx, dy, g_exp, au = _chunk_alpha(attr, px, py)
         incl = (alpha >= ALPHA_SKIP) & (power <= 0.0)
-    contrib = incl & (pos < ncon)
+    riota = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 0)
+    contrib = incl & (riota < ncon - base)
     omb = jnp.where(contrib, 1.0 - alpha, 1.0)
 
     pe = _cumprod_omb_any(alpha, contrib, omb, strict=True)  # prod_{j<i}
@@ -439,9 +464,8 @@ def _bwd_chunk_math(attr, px, py, pos, ncon, gc, gt_term, trun, ssuf):
     d_alpha = jnp.where(
         contrib, t_before * bdot - (s_after + gt_term) / omb, 0.0)
 
-    ga = g_exp * d_alpha  # zeroed with d_alpha
     sum1 = lambda x: jnp.sum(x, axis=1, keepdims=True)
-    d_power = attr[:, 8:9] * ga
+    d_power = au * d_alpha  # zeroed with d_alpha
     d_rgb = _mxu_dot(
         w, gc, (((1,), (1,)), ((), ())), _DOT_PREC,
     )  # [S,P] x [3,P] -> [S,3]
@@ -457,7 +481,7 @@ def _bwd_chunk_math(attr, px, py, pos, ncon, gc, gt_term, trun, ssuf):
         gm = _moment_grads(attr, d_power, x0, y0, basis)
         grads = [gm[0], gm[1], gm[2], gm[3], gm[4], d_rgb, gm[5]]
     else:
-        d_opac = sum1(ga)
+        d_opac = sum1(g_exp * d_alpha)
         dxp = dx * d_power
         dyp = dy * d_power
         sx, sy = sum1(dxp), sum1(dyp)
@@ -645,7 +669,7 @@ def _fwd_tile_kernel(starts_ref, ends_ref, tid_ref, attr_hbm,
                 @pl.when((sub < end) & (jnp.min(died_ref[:]) < 0.5))
                 def _(ci=ci, sub=sub, slot=slot):
                     attr = abuf[slot, :, ci * s:(ci + 1) * s].T
-                    w, contrib, chunk_prod, t_stop, died_now, riota = \
+                    w, _, chunk_prod, t_stop, died_now, last_c = \
                         _fwd_chunk_math(attr, px, py, t_ref[0], died_ref[:])
                     color_ref[0] += _mxu_dot(
                         attr[:, 5:8], w, (((0,), (0,)), ((), ())), _DOT_PREC,
@@ -654,11 +678,11 @@ def _fwd_tile_kernel(starts_ref, ends_ref, tid_ref, attr_hbm,
                         died_ref[:] > 0.5, t_ref[0],
                         jnp.where(died_now > 0.5, t_stop,
                                   t_ref[0] * chunk_prod))
-                    pos = sub + riota
+                    # last contributor: [1,P] arithmetic on the in-chunk row
+                    # index (exactly max(where(contrib, pos+1, 0)))
                     ncon_ref[0] = jnp.maximum(
                         ncon_ref[0],
-                        jnp.max(jnp.where(contrib, pos + 1, 0), axis=0,
-                                keepdims=True),
+                        jnp.where(last_c >= 0, sub + 1 + last_c, 0),
                     )
                     died_ref[:] = jnp.maximum(died_ref[:], died_now)
 
@@ -791,9 +815,8 @@ def _bwd_tile_kernel(starts_ref, ends_ref, tid_ref, attr_hbm,
                 @pl.when(sub < end)
                 def _(ci=ci, sub=sub, slot=slot):
                     attr = abuf[slot, :, ci * s:(ci + 1) * s].T
-                    pos = sub + jax.lax.broadcasted_iota(jnp.int32, (s, p), 0)
                     grads, new_trun, new_ssuf = _bwd_chunk_math(
-                        attr, px, py, pos, ncon_ref[0], gc_ref[0], gt_ref[0],
+                        attr, px, py, sub, ncon_ref[0], gc_ref[0], gt_ref[0],
                         trun_ref[:], ssuf_ref[:])
                     obuf[slot, :, ci * s:(ci + 1) * s] = jnp.concatenate(
                         grads + [jnp.zeros((s, ATTR_WP - 9), _F32)],
@@ -908,7 +931,7 @@ def _fwd_kernel(row_ref, blk_ref, tid_ref, attr_ref,
     def _():
         tid = tid_ref[jnp.minimum(row, m - 1)]
         px, py = _pixel_coords(tid, st.tiles_x, st.tile_w, st.tile_h, p)
-        w, contrib, chunk_prod, t_stop, died_now, riota = _fwd_chunk_math(
+        w, _, chunk_prod, t_stop, died_now, last_c = _fwd_chunk_math(
             attr_ref[:], px, py, t_ref[0], died_ref[:])
         color_ref[0] += _mxu_dot(
             attr_ref[:, 5:8], w, (((0,), (0,)), ((), ())), _DOT_PREC,
@@ -916,9 +939,11 @@ def _fwd_kernel(row_ref, blk_ref, tid_ref, attr_ref,
         t_ref[0] = jnp.where(
             died_ref[:] > 0.5, t_ref[0],
             jnp.where(died_now > 0.5, t_stop, t_ref[0] * chunk_prod))
-        pos = blk_ref[j] * s + riota
+        # last contributor via [1,P] arithmetic on the in-chunk row index
+        # (exactly max over contrib rows of global pos + 1, 0 when none)
         ncon_ref[0] = jnp.maximum(
-            ncon_ref[0], jnp.max(jnp.where(contrib, pos + 1, 0), axis=0, keepdims=True)
+            ncon_ref[0],
+            jnp.where(last_c >= 0, blk_ref[j] * s + 1 + last_c, 0),
         )
         died_ref[:] = jnp.maximum(died_ref[:], died_now)
 
@@ -1008,7 +1033,6 @@ def _bwd_kernel(row_ref, blk_ref, tid_ref, attr_ref,
     def _():
         tid = tid_ref[jnp.minimum(row, m - 1)]
         px, py = _pixel_coords(tid, st.tiles_x, st.tile_w, st.tile_h, p)
-        pos = blk_ref[j] * s + jax.lax.broadcasted_iota(jnp.int32, (s, p), 0)
         # NOTE (round 3, measured): collapsing the five dx/dy reductions
         # into one [S,P]@[P,8] moment matmul over a tile-local monomial
         # basis is ~10% SLOWER at fp32-HIGHEST (bwd 31.3 -> 34.3 ms at the
@@ -1017,8 +1041,8 @@ def _bwd_kernel(row_ref, blk_ref, tid_ref, attr_ref,
         # _moment_grads retained for reference; _bwd_chunk_math instead
         # factors the per-splat constants out of the reductions directly.
         grads, new_trun, new_ssuf = _bwd_chunk_math(
-            attr_ref[:], px, py, pos, ncon_ref[0], gc_ref[0], gt_ref[0],
-            trun_ref[:], ssuf_ref[:])
+            attr_ref[:], px, py, blk_ref[j] * s, ncon_ref[0], gc_ref[0],
+            gt_ref[0], trun_ref[:], ssuf_ref[:])
         dattr_ref[:] = jnp.concatenate(
             grads + ([jnp.zeros((s, ATTR_W - 9), _F32)] if ATTR_W > 9 else []),
             axis=1,

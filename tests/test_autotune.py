@@ -88,6 +88,39 @@ def test_failure_restores_configured_formulation():
     assert rp.get_formulation() == before and rp.KERNEL_MODE == mode
 
 
+def test_scan_prec_phase_keeps_faster_high():
+    if rp._ENV_FORMULATION["_SCAN_PREC"] != "highest":
+        pytest.skip("GS_TPU_SCAN_PREC already overridden in the env")
+
+    def timer(state, camera, cfg, steps):
+        name = f"{'mxu' if rp.SCAN_MXU else 'vpu'}-{rp.KERNEL_MODE}"
+        base = {"mxu-chunk": 0.05, "vpu-chunk": 0.07, "mxu-tile": 0.08}[name]
+        # the 2-pass tri contraction is 20% faster on this fake scene
+        return base * (0.8 if rp._SCAN_PREC == "high" else 1.0)
+
+    res = autotune.autotune_formulation(
+        None, None, RasterizeConfig(backend="pallas"),
+        timer=timer, force=True, tune_chunk=False, log=lambda s: None)
+    assert res["winner"] == "mxu-chunk-sphigh"
+    assert rp._SCAN_PREC == "high"
+
+
+def test_scan_prec_phase_restores_when_slower():
+    if rp._ENV_FORMULATION["_SCAN_PREC"] != "highest":
+        pytest.skip("GS_TPU_SCAN_PREC already overridden in the env")
+
+    def timer(state, camera, cfg, steps):
+        name = f"{'mxu' if rp.SCAN_MXU else 'vpu'}-{rp.KERNEL_MODE}"
+        base = {"mxu-chunk": 0.05, "vpu-chunk": 0.07, "mxu-tile": 0.08}[name]
+        return base * (1.2 if rp._SCAN_PREC == "high" else 1.0)
+
+    res = autotune.autotune_formulation(
+        None, None, RasterizeConfig(backend="pallas"),
+        timer=timer, force=True, tune_chunk=False, log=lambda s: None)
+    assert res["winner"] == "mxu-chunk"
+    assert rp._SCAN_PREC == "highest"
+
+
 def test_formulation_snapshot_roundtrip():
     # set_formulation(True) must restore env-derived precisions (the
     # bench A/B restore bug, ADVICE r3); snapshot API is exact

@@ -97,6 +97,9 @@ print("VARIANT_OK")
      "CHECK_GOLDEN": "1"},
     # tile-grid kernel mode under the MXU defaults (the hardware A/B combo)
     {"GS_TPU_PALLAS_KERNEL": "tile", "CHECK_GOLDEN": "1"},
+    # scan-contraction precision "high": 2-pass exact-mask bf16 tri dots
+    # (autotune phase-1.5 / bench A/B candidate)
+    {"GS_TPU_SCAN_PREC": "high", "CHECK_GOLDEN": "1"},
 ])
 def test_variant_parity(env):
     out = subprocess.run(
