@@ -1,0 +1,131 @@
+"""Staged attribution sweep for the kernel formulation knobs (on hardware).
+
+Runs the fwd+bwd bench leg (bench.py's machinery) across the variants the
+round-3 default flip shipped unmeasured: legacy-VPU vs MXU defaults, each
+knob off singly, scan-precision, chunk size, kernel mode, and the tile-size
+ladder from PERF_NOTES.md §"Round-4 floors". Each variant retraces with the
+requested rasterize_pallas globals; results print as one JSON line per
+variant plus a final summary table (also appended to a --out file so a
+dropped tunnel mid-sweep loses nothing).
+
+Usage:
+    python benchmarks/sweep_attrib.py [--iters 10] [--heavy] [--only a,b,c]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import bench  # noqa: E402  (reuses make_scene/timed_chain/bench_fwd_bwd)
+from gs_tpu.ops import rasterize_pallas as rp  # noqa: E402
+
+
+def variants():
+    """(name, rp-global overrides, cfg overrides) — order = measurement order."""
+    V = []
+    base = dict(SCAN_MXU=True, POWER_MXU=True, MOMENT_MXU=True,
+                _SCAN_PREC="highest", _MOMENT_PREC="high", _DOT_PREC="high",
+                KERNEL_MODE="chunk")
+    def v(name, rpo=None, cfgo=None):
+        d = dict(base)
+        d.update(rpo or {})
+        V.append((name, d, cfgo or {}))
+    v("default")
+    v("vpu-legacy", dict(SCAN_MXU=False, POWER_MXU=False, MOMENT_MXU=False,
+                         _DOT_PREC="highest"))
+    v("scan_off", dict(SCAN_MXU=False))
+    v("power_off", dict(POWER_MXU=False))
+    v("moment_off", dict(MOMENT_MXU=False))
+    v("dot_highest", dict(_DOT_PREC="highest"))
+    v("sphigh", dict(_SCAN_PREC="high"))
+    v("chunk32", cfgo=dict(chunk=32))
+    v("chunk128", cfgo=dict(chunk=128))
+    v("sphigh-c32", dict(_SCAN_PREC="high"), dict(chunk=32))
+    v("tilegrid", dict(KERNEL_MODE="tile"))
+    v("t64x32", cfgo=dict(tile_w=64, tile_h=32))
+    v("t64x64", cfgo=dict(tile_w=64, tile_h=64))
+    v("t96x64-c32", cfgo=dict(tile_w=96, tile_h=64, chunk=32))
+    v("t128x64-c32", cfgo=dict(tile_w=128, tile_h=64, chunk=32))
+    v("sphigh-t64x32", dict(_SCAN_PREC="high"), dict(tile_w=64, tile_h=32))
+    return V
+
+
+def apply_globals(d):
+    for k, val in d.items():
+        setattr(rp, k, val)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--heavy", action="store_true",
+                    help="also run each variant on the hostile 1M scene")
+    ap.add_argument("--only", type=str, default="",
+                    help="comma-separated variant names to run")
+    ap.add_argument("--out", type=str, default="/tmp/sweep_attrib.jsonl")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    platform = jax.devices()[0].platform
+    print(f"# platform: {platform}", flush=True)
+
+    state, cam = bench.make_scene(bench.N_GAUSS, heavy=False)
+    target = jnp.zeros((3, bench.H, bench.W), jnp.float32)
+    scenes = [("", state, cam)]
+    if args.heavy:
+        hstate, hcam = bench.make_scene(bench.N_HEAVY, heavy=True)
+        scenes.append(("heavy:", hstate, hcam))
+
+    tiny = jax.jit(lambda i, prev: prev * 0.5 + i)
+    rtt = bench.timed_chain(lambda i, prev: tiny(i, prev), iters=20)
+    print(f"# tunnel rtt: {rtt*1e3:.2f} ms", flush=True)
+
+    from gs_tpu.config import RasterizeConfig
+    only = set(args.only.split(",")) if args.only else None
+    snap = {k: getattr(rp, k) for k in
+            ("SCAN_MXU", "POWER_MXU", "MOMENT_MXU", "_SCAN_PREC",
+             "_MOMENT_PREC", "_DOT_PREC", "KERNEL_MODE")}
+    rows = []
+    try:
+        for name, rpo, cfgo in variants():
+            if only and name not in only:
+                continue
+            apply_globals(rpo)
+            base_cfg = RasterizeConfig(
+                backend="pallas", chunk=cfgo.get("chunk", bench.CHUNK),
+                tile_w=cfgo.get("tile_w", bench.TILE_W),
+                tile_h=cfgo.get("tile_h", bench.TILE_H),
+                pair_budget_factor=1.0)
+            for pfx, st, cm in scenes:
+                n = bench.N_HEAVY if pfx else bench.N_GAUSS
+                t0 = time.perf_counter()
+                cfg, pairs = bench.grown_cfg(st, cm, base_cfg, n)
+                dt = bench.bench_fwd_bwd(st, cm, cfg, target, rtt,
+                                         iters=args.iters)
+                row = {"variant": pfx + name, "ms": round(dt * 1e3, 2),
+                       "mpx_per_s": round(bench.H * bench.W / dt / 1e6, 2),
+                       "pairs": pairs,
+                       "compile_plus_run_s": round(time.perf_counter() - t0, 1)}
+                rows.append(row)
+                line = json.dumps(row)
+                print(line, flush=True)
+                with open(args.out, "a") as f:
+                    f.write(line + "\n")
+    finally:
+        apply_globals(snap)
+
+    print("\n# variant                 ms      Mpx/s   pairs")
+    for r in sorted(rows, key=lambda r: r["ms"]):
+        print(f"# {r['variant']:<22} {r['ms']:>7.2f} {r['mpx_per_s']:>7.2f}"
+              f"   {r['pairs']}")
+
+
+if __name__ == "__main__":
+    main()

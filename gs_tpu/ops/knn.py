@@ -34,13 +34,19 @@ def mean_knn_sq_dist(points: jnp.ndarray, k: int = 3, chunk: int = 4096) -> jnp.
     Returns:
       [N] fp32.
     """
-    if points.shape[0] > _BRUTE_FORCE_WARN_N:
+    n = points.shape[0]
+    if n > _BRUTE_FORCE_WARN_N:
         warnings.warn(
-            f"mean_knn_sq_dist is O(N^2) brute force; N={points.shape[0]:,} "
+            f"mean_knn_sq_dist is O(N^2) brute force; N={n:,} "
             f"will take minutes at init (fine above ~{_BRUTE_FORCE_WARN_N:,} "
             "only if you can wait). Consider subsampling the init cloud.",
             stacklevel=2,
         )
+    # bound the [chunk, N] f32 distance-matrix temp to ~2 GiB: at N=1M the
+    # default chunk of 4096 is a 16 GiB allocation — larger than a v5e's
+    # entire HBM (measured OOM, round 4). Keep chunks lane-aligned.
+    max_chunk = max(512 * 1024 * 1024 // max(n, 1), 128)
+    chunk = min(chunk, max_chunk - max_chunk % 128 if max_chunk >= 128 else 128)
     return _mean_knn_sq_dist(points, k=k, chunk=chunk)
 
 

@@ -948,9 +948,14 @@ def _fwd_kernel(row_ref, blk_ref, tid_ref, attr_ref,
         died_ref[:] = jnp.maximum(died_ref[:], died_now)
 
 
+def _kernel_mode(st) -> str:
+    """Per-call kernel mode (CompositeStatic.kernel_mode, global fallback)."""
+    return getattr(st, "kernel_mode", None) or KERNEL_MODE
+
+
 def composite_fwd_pallas(st, sp_attr, tile_ids, starts, ends):
     """Pallas forward. Returns (color [M,P,3], t_final [M,P], ncon [M,P])."""
-    if KERNEL_MODE == "tile":
+    if _kernel_mode(st) == "tile":
         return _composite_fwd_pallas_tile(st, sp_attr, tile_ids, starts, ends)
     s = st.chunk
     p = st.tile_w * st.tile_h
@@ -1052,7 +1057,7 @@ def _bwd_kernel(row_ref, blk_ref, tid_ref, attr_ref,
 
 
 def composite_bwd_pallas(st, residuals, cotangents):
-    if KERNEL_MODE == "tile":
+    if _kernel_mode(st) == "tile":
         return _composite_bwd_pallas_tile(st, residuals, cotangents)
     (sp_attr, tile_ids, starts, ends, t_final, ncon_all) = residuals
     g_color_all, g_t_all, _ = cotangents

@@ -77,18 +77,20 @@ def resolve_backend(backend: str) -> str:
     return backend
 
 
-def binning_align(chunk: int, backend: str) -> int:
+def binning_align(chunk: int, backend: str,
+                  kernel_mode: str | None = None) -> int:
     """Pair-layout alignment for a compositing backend.
 
     The Pallas tile-grid kernels stream the pair buffer as a transposed
     [9, B] array whose DMA column offsets (= tile range starts) must be
     128-aligned, so binning aligns tile ranges to lcm(chunk, 128) there;
-    everywhere else chunk alignment suffices.
+    everywhere else chunk alignment suffices. ``kernel_mode`` None means
+    the rasterize_pallas.KERNEL_MODE global.
     """
     if backend == "pallas":
         from gs_tpu.ops import rasterize_pallas as rp
 
-        if rp.KERNEL_MODE == "tile":
+        if (kernel_mode or rp.KERNEL_MODE) == "tile":
             a = chunk
             while a % 128:
                 a += chunk
@@ -120,6 +122,34 @@ class CompositeStatic(NamedTuple):
     chunk: int
     tile_batch: int
     backend: str
+    # Pallas kernel mode for THIS call: "chunk" | "tile" | None (= the
+    # rasterize_pallas.KERNEL_MODE global). rasterize_tiled sets it
+    # explicitly so the chunk-grid mode's SMEM budget can force the
+    # tile-grid kernel at large pair buffers (see _pick_kernel_mode).
+    kernel_mode: str | None = None
+
+
+# v5e/v5p SMEM is 1 MiB; the chunk-grid kernels scalar-prefetch two
+# int32[cap_chunks] visit tables plus int32[M] tile ids. Past this budget
+# (headroom for Mosaic's own SMEM use) the compile fails "Ran out of memory
+# in memory space smem" (measured round 4: 14.8M-pair heavy scene =
+# 904 KiB/table), so rasterize_tiled statically falls back to the tile-grid
+# kernels, which prefetch only [M]-sized starts/ends/ids.
+_SMEM_TABLE_BUDGET = 700 * 1024
+
+
+def _pick_kernel_mode(backend: str, pair_budget: int, chunk: int,
+                      num_tiles: int) -> str | None:
+    if backend != "pallas":
+        return None
+    from gs_tpu.ops import rasterize_pallas as rp
+
+    mode = rp.KERNEL_MODE
+    cap_chunks = pair_budget // chunk
+    if mode == "chunk" and 4 * (2 * cap_chunks + num_tiles + 1) > \
+            _SMEM_TABLE_BUDGET:
+        mode = "tile"
+    return mode
 
 
 # ----------------------------------------------------------------------------
@@ -600,11 +630,12 @@ def rasterize_tiled(
     from gs_tpu.ops.projection import bin_radii
 
     backend = resolve_backend(cfg.backend)
+    kernel_mode = _pick_kernel_mode(backend, pair_budget, cfg.chunk, num_tiles)
     attr = pack_attributes(means2d, conics, colors, opacities)
     ab = binning.bin_gaussians_aligned(
         means2d, depths, bin_radii(radii, opacities), tiles_x, tiles_y,
         cfg.tile_w, cfg.tile_h, pair_budget,
-        binning_align(cfg.chunk, backend),
+        binning_align(cfg.chunk, backend, kernel_mode),
     )
 
     # ONE packed gather per pair straight from the attribute table + one
@@ -625,6 +656,7 @@ def rasterize_tiled(
         chunk=cfg.chunk,
         tile_batch=cfg.tile_batch,
         backend=backend,
+        kernel_mode=kernel_mode,
     )
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     ends = ab.ends

@@ -92,7 +92,7 @@ def composite_strip(st, means2d, depths, bin_radii_v, attr, n_shard, me,
     ab = binning.bin_gaussians_aligned(
         means2d, depths, bin_radii_v,
         st.tiles_x, st.tiles_y, st.tile_w, st.tile_h, local_budget,
-        binning_align(st.chunk, st.backend),
+        binning_align(st.chunk, st.backend, st.kernel_mode),
         col_stride=n_shard, col_offset=me,
     )
     # ONE packed gather per local pair straight from the attribute table +
