@@ -58,24 +58,27 @@ from gs_tpu.renderer import render
 from gs_tpu.utils import losses
 
 # the variants matrix: name -> (formulation overrides, cfg overrides).
-# Covers the shipped defaults, each MXU knob individually off (the exact
-# attribution set bench.py sweeps), the all-legacy VPU formulation, the
-# chunk sizes the sweep uses, and the tile-grid kernel mode.
+# Covers the shipped defaults (VPU scans + HIGH dots since the round-4
+# hardware sweep), the all-MXU contraction formulation and each knob
+# singly on top of the defaults (the attribution set bench.py/sweep use),
+# the chunk sizes the sweep uses, and the tile-grid kernel mode.
+# Formulation spec: {} = shipped env defaults, "legacy"/"mxu" =
+# set_formulation(False/True), dict = overrides on the shipped defaults.
 VARIANTS = {
     "defaults": ({}, {}),
-    "scan_off": ({"SCAN_MXU": False}, {}),
-    "power_off": ({"POWER_MXU": False}, {}),
-    "moment_off": ({"MOMENT_MXU": False}, {}),
-    "dot_highest": ({"_DOT_PREC": "highest"}, {}),
-    "scan_high": ({"_SCAN_PREC": "high"}, {}),
+    "mxu_all": ("mxu", {}),
     "vpu_legacy": ("legacy", {}),
+    "dot_highest": ({"_DOT_PREC": "highest"}, {}),
+    "scan_on": ({"SCAN_MXU": True}, {}),
+    "scan_on_high": ({"SCAN_MXU": True, "_SCAN_PREC": "high"}, {}),
+    "power_on": ({"POWER_MXU": True}, {}),
+    "moment_on": ({"MOMENT_MXU": True, "_MOMENT_PREC": "high"}, {}),
     "chunk32": ({}, {"chunk": 32}),
     "chunk128": ({}, {"chunk": 128}),
     "tile_grid": ({"KERNEL_MODE": "tile"}, {}),
-    # big-tile candidates for the round-4 sweep: every pair-proportional
-    # data-movement stage scales with tile count, so if the MXU formulation
-    # cheapened per-pixel compute the optimum moves to bigger tiles. These
-    # stress VMEM ([chunk, tile_w*tile_h] blocks) — prove they fit/lower.
+    # big-tile candidates from the round-4 sweep (measured slower at both
+    # formulations, kept compiling): stress VMEM ([chunk, tile_w*tile_h]
+    # blocks) — prove they fit/lower.
     "tile96x64_c32": ({}, {"chunk": 32, "tile_w": 96, "tile_h": 64}),
     "tile128x64_c32": ({}, {"chunk": 32, "tile_w": 128, "tile_h": 64}),
 }
@@ -114,12 +117,19 @@ def fwd_bwd_fn(cam, cfg):
     return fwd_bwd
 
 
+# import-time snapshot of the shipped (env-derived) formulation
+_SHIPPED = rp.get_formulation()
+
+
 def apply_variant(spec):
     """Set the rasterize_pallas formulation globals for one variant."""
     if spec == "legacy":
         rp.set_formulation(False)
         return
-    rp.set_formulation(True)  # env-derived MXU defaults
+    if spec == "mxu":
+        rp.set_formulation(True)
+        return
+    rp.apply_formulation(_SHIPPED)
     for key, val in spec.items():
         setattr(rp, key, val)
 
@@ -236,7 +246,7 @@ def main():
             failures.append(name)
             print(f"  [FAIL] {name}: {type(e).__name__}: {e}")
         finally:
-            rp.set_formulation(True)
+            rp.apply_formulation(_SHIPPED)
             rp.KERNEL_MODE = os.environ.get("GS_TPU_PALLAS_KERNEL", "chunk")
 
     if args.bench_shape and not args.only:

@@ -53,11 +53,41 @@ def variants():
     v("t96x64-c32", cfgo=dict(tile_w=96, tile_h=64, chunk=32))
     v("t128x64-c32", cfgo=dict(tile_w=128, tile_h=64, chunk=32))
     v("sphigh-t64x32", dict(_SCAN_PREC="high"), dict(tile_w=64, tile_h=32))
+    # phase 2 (hardware session 2026-08-19): the all-MXU defaults measured
+    # 30% SLOWER than vpu-legacy, but dot_prec=high beat highest by ~5 ms —
+    # probe the legacy-VPU formulation with just the dot knob, then its
+    # chunk/tile/kernel-mode neighborhood, and single-MXU-knob-on combos.
+    legacy = dict(SCAN_MXU=False, POWER_MXU=False, MOMENT_MXU=False,
+                  _DOT_PREC="highest")
+    ldh = dict(legacy, _DOT_PREC="high")
+    v("legacy-dh", ldh)
+    v("legacy-dh-c32", ldh, dict(chunk=32))
+    v("legacy-dh-c128", ldh, dict(chunk=128))
+    v("legacy-dh-t64x32", ldh, dict(tile_w=64, tile_h=32))
+    v("legacy-dh-t64x64", ldh, dict(tile_w=64, tile_h=64))
+    v("legacy-dh-t32x32", ldh, dict(tile_w=32, tile_h=32))
+    v("legacy-dh-tile", dict(ldh, KERNEL_MODE="tile"))
+    v("legacy-dh+power", dict(ldh, POWER_MXU=True))
+    v("legacy-dh+scanhigh", dict(ldh, SCAN_MXU=True, _SCAN_PREC="high"))
+    v("legacy-dh+moment", dict(ldh, MOMENT_MXU=True, _MOMENT_PREC="high"))
+    # phase 3: gradient-reduction A/B at the phase-2 winner (keys prefixed
+    # RT_ set rasterize_tiled globals — see apply_globals)
+    v("legacy-dh-segsum", dict(ldh, RT_GRAD_REDUCE="segsum"))
     return V
+
+
+def apply_rt(d):
+    from gs_tpu.ops import rasterize_tiled as rt
+
+    for k, val in d.items():
+        if k.startswith("RT_"):
+            setattr(rt, k[3:], val)
 
 
 def apply_globals(d):
     for k, val in d.items():
+        if k.startswith("RT_"):
+            continue  # rasterize_tiled globals, see apply_rt
         setattr(rp, k, val)
 
 
@@ -92,12 +122,15 @@ def main():
     snap = {k: getattr(rp, k) for k in
             ("SCAN_MXU", "POWER_MXU", "MOMENT_MXU", "_SCAN_PREC",
              "_MOMENT_PREC", "_DOT_PREC", "KERNEL_MODE")}
+    from gs_tpu.ops import rasterize_tiled as rt
+    rt_snap = {"RT_GRAD_REDUCE": rt.GRAD_REDUCE}
     rows = []
     try:
         for name, rpo, cfgo in variants():
             if only and name not in only:
                 continue
             apply_globals(rpo)
+            apply_rt({**rt_snap, **rpo})
             base_cfg = RasterizeConfig(
                 backend="pallas", chunk=cfgo.get("chunk", bench.CHUNK),
                 tile_w=cfgo.get("tile_w", bench.TILE_W),
@@ -120,6 +153,7 @@ def main():
                     f.write(line + "\n")
     finally:
         apply_globals(snap)
+        apply_rt(rt_snap)
 
     print("\n# variant                 ms      Mpx/s   pairs")
     for r in sorted(rows, key=lambda r: r["ms"]):

@@ -107,6 +107,10 @@ class AlignedBinningOut(NamedTuple):
     ends: jnp.ndarray  # [T] int32
     num_pairs: jnp.ndarray  # scalar int32 true (unclamped) pair count
     payload_ds: jnp.ndarray | None = None  # [N, K] sort_payload, depth order
+    # per-ORIGINAL-gaussian surviving pair count (count_by_gauss=True only):
+    # exactly the multiset of pair_gauss values < N. Feeds the segmented-sum
+    # gradient reduction (rasterize_tiled.gather_pairs_segsum).
+    gauss_counts: jnp.ndarray | None = None
 
 
 def vec_cumsum(x: jnp.ndarray) -> jnp.ndarray:
@@ -169,6 +173,7 @@ def bin_gaussians_aligned(
     col_stride: int = 1,
     col_offset=0,
     sort_payload: jnp.ndarray | None = None,
+    count_by_gauss: bool = False,
 ) -> AlignedBinningOut:
     """One-sort aligned binning, tuned for TPU gather/scatter costs.
 
@@ -330,6 +335,14 @@ def bin_gaussians_aligned(
     # table padded with one zero row makes padding pairs zero-opacity with
     # no separate mask multiply over the [AB, attrs] buffer
     pair_gauss = jnp.where(is_real, jnp.maximum(orig_sorted, 0), n)
+    gauss_counts = None
+    if count_by_gauss:
+        # surviving pair count per ORIGINAL gaussian index: un-permute the
+        # depth-ordered fit-masked counts with one N-row sort (the unique
+        # depth_order values ARE the destination indices; a sort at ~2 ns/row
+        # beats an int scatter, which lowers to an SMEM serial loop here)
+        cfit = jnp.where(fit, counts, 0)
+        gauss_counts = jax.lax.sort((depth_order, cfit), num_keys=1)[1]
     return AlignedBinningOut(
         pair_gauss=pair_gauss,
         depth_order=depth_order,
@@ -338,6 +351,7 @@ def bin_gaussians_aligned(
         ends=aends,
         num_pairs=num_pairs,
         payload_ds=payload_ds,
+        gauss_counts=gauss_counts,
     )
 
 

@@ -12,11 +12,12 @@ single fused Pallas kernel each way:
   partial-chunk masking). The tile's color/transmittance/ncon accumulators
   live in the revisited output block in VMEM and flush to HBM once per tile.
 
-  forward, per chunk:   the exponent quadratic, the depth cumprod (log
-  domain) and the color accumulation all ride the MXU (defaults; see the
-  GS_TPU_*_MXU knobs below — a v5e VPU has ~1/10th an A6000's elementwise
-  fp32 throughput, so [S,P] pass count is the budget that matters);
-  early-skip of whole chunks once every pixel's transmittance died.
+  forward, per chunk:   the exponent quadratic and depth cumprod run as
+  VPU log-step scans and the color accumulation rides the MXU at HIGH
+  (the round-4 hardware-measured winner; the GS_TPU_*_MXU knobs below
+  restate each block as an MXU contraction for A/B — measured slower at
+  this shape, see the SCAN_MXU note); early-skip of whole chunks once
+  every pixel's transmittance died.
 
   backward, per chunk (tiles walked in reverse chunk order via a second
   prefetched visit table): transmittance reconstructed by division from the
@@ -58,12 +59,17 @@ DMA_SUBCHUNKS = int(os.environ.get("GS_TPU_PALLAS_DMA_CHUNKS", "4"))
 KERNEL_MODE = os.environ.get("GS_TPU_PALLAS_KERNEL", "chunk")
 # scan-to-MXU: restate the [S,P] depth scans (cumprod via log-domain
 # cumsum, the backward's strict suffix sum) as triangular-matrix matmuls.
-# Rationale: the kernels are VPU-pass-bound and the v5e VPU has ~1/10th an
-# A6000's elementwise fp32 throughput, while the MXU sits idle between the
-# color dots — each log-step scan burns ~12 [S,P] passes that one
-# [S,S]@[S,P] contraction replaces. exp/log round-trip error ~1e-6,
-# far inside the 1e-3/2e-3 parity tolerances.
-SCAN_MXU = os.environ.get("GS_TPU_SCAN_MXU", "1") == "1"
+# The round-3 pass-count analysis argued the kernels are VPU-pass-bound and
+# the contraction should win; the round-4 HARDWARE attribution sweep
+# (benchmarks/sweep_attrib.py, v5e, 1080p/262k/762k-pair shape) measured the
+# opposite for every contraction knob: all-MXU 90.5 ms vs all-VPU 69.3 ms
+# fwd+bwd; scan alone +13.4 ms (HIGHEST) / +3 ms (bf16 "high"), power
+# +13.4..28 ms, moment +1.5..4.5 ms. The S=64-row contractions pad to the
+# 128-wide MXU and the fp32 emulation multiplies passes; Mosaic's VPU scans
+# are simply better at this shape. Defaults are the measured winner
+# ("legacy-dh": VPU scans + HIGH color dots); the knobs remain for A/B and
+# for shapes where the trade could flip (bench.py re-probes each run).
+SCAN_MXU = os.environ.get("GS_TPU_SCAN_MXU", "0") == "1"
 # tri-matmul precision: the 0/1 mask operand is exact in bf16, so "high"
 # (a 2-pass exact-mask split, see _tri_dot) only perturbs the x-operand
 # split — ~1e-6 on the scan output.
@@ -79,17 +85,20 @@ _SCAN_PREC = os.environ.get("GS_TPU_SCAN_PREC", "highest")
 # the reference's power>0 cull becomes min(power, 0): expansion noise at
 # a splat's exact center must not exclude its peak pixel, and a true
 # positive power only arises from an indefinite conic, which the +0.3
-# dilation precludes.
-POWER_MXU = os.environ.get("GS_TPU_POWER_MXU", "1") == "1"
+# dilation precludes. Round-4 hardware sweep: SLOWER (see SCAN_MXU note);
+# default off.
+POWER_MXU = os.environ.get("GS_TPU_POWER_MXU", "0") == "1"
 # moment-to-MXU (backward): the five dx/dy moment reductions as one
 # [S,P]@[P,8] contraction (_moment_grads). Round-3 note: measured 10%
 # SLOWER at HIGHEST (6-pass fp32 emulation + padded-N output); retried
-# here at selectable precision — "high" (bf16x3, ~1e-6 contraction error,
-# still far inside the 2e-3 gradient tolerances) halves the emulation
-# passes. Values: "0" off, "1" HIGHEST, "high" HIGH.
-_MM = os.environ.get("GS_TPU_MOMENT_MXU", "high")
+# at "high" (bf16x3, ~1e-6 contraction error) — still +1.5..4.5 ms slower
+# on hardware (round-4 sweep), default off.
+# Values: "0" off, "1" HIGHEST, "high" HIGH.
+_MM = os.environ.get("GS_TPU_MOMENT_MXU", "0")
 MOMENT_MXU = _MM != "0"
-_MOMENT_PREC = "high" if _MM == "high" else "highest"
+# "0" leaves the better-measured "high" in place so a set_formulation(True)
+# A/B flip runs the mxu formulation at its best-known precision
+_MOMENT_PREC = "highest" if _MM == "1" else "high"
 # precision of the compositing color contractions (fwd color accumulate,
 # backward bdot / d_rgb): fp32 on the MXU is emulated in bf16 passes —
 # HIGHEST = 6, HIGH = 3 (~1e-6 contraction error; passes the fp64 golden
@@ -116,23 +125,24 @@ def set_formulation(mxu: bool) -> None:
     (mixing formulations across a custom_vjp pair is still consistent,
     both are parity-exact, but invalidates perf attribution).
 
-    ``mxu=True`` restores the env-derived configuration captured at import
-    (so a user's GS_TPU_*_PREC overrides survive an A/B round-trip, with
-    the three MXU gates forced on); ``mxu=False`` is the legacy VPU
-    formulation, with every precision global reset to its legacy value.
+    ``mxu=True`` forces the three contraction gates on with the env-derived
+    precisions captured at import (so a user's GS_TPU_*_PREC overrides
+    survive an A/B round-trip); ``mxu=False`` is the VPU formulation (the
+    round-4 measured winner and shipped default). The color-dot precision
+    is NOT part of the A/B: the compositing dots ride the MXU under both
+    formulations, so _DOT_PREC stays at its env-derived value either way.
     """
     global SCAN_MXU, POWER_MXU, MOMENT_MXU
     global _SCAN_PREC, _MOMENT_PREC, _DOT_PREC
+    _DOT_PREC = _ENV_FORMULATION["_DOT_PREC"]
     if mxu:
         SCAN_MXU = POWER_MXU = MOMENT_MXU = True
         _SCAN_PREC = _ENV_FORMULATION["_SCAN_PREC"]
         _MOMENT_PREC = _ENV_FORMULATION["_MOMENT_PREC"]
-        _DOT_PREC = _ENV_FORMULATION["_DOT_PREC"]
     else:
         SCAN_MXU = POWER_MXU = MOMENT_MXU = False
         _SCAN_PREC = "highest"
         _MOMENT_PREC = "highest"
-        _DOT_PREC = "highest"
 
 
 def get_formulation() -> dict:

@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import NamedTuple
 
 import jax
@@ -110,6 +111,90 @@ def pack_attributes(means2d, conics, colors, opacities):
         ] + ([jnp.zeros((n, ATTR_W - 9), _F32)] if ATTR_W > 9 else []),
         axis=1,
     )
+
+
+# gradient reduction for the pair gather: "scatter" = plain autodiff (one
+# [AB, 9] -> [N, 9] scatter-add, ~10 ns/row) vs "segsum" = sort the pair
+# grads by gaussian id (~2 ns/row incl. payloads), blocked-MXU cumsum,
+# and a boundary gather of N rows — the same sum grouped contiguously.
+# Trace-time global (A/B harnesses retrace); env-selectable like the
+# rasterize_pallas formulation knobs.
+GRAD_REDUCE = os.environ.get("GS_TPU_GRAD_REDUCE", "scatter")
+
+
+def _cumsum_rows_mxu(x: jnp.ndarray, blk: int = 256) -> jnp.ndarray:
+    """Inclusive cumsum of x [B, K] along axis 0 via blocked MXU contractions.
+
+    A plain axis-0 cumsum over [B, K<=9] scans the major axis with padded
+    lanes (~70 ns/row measured round 2). Here each blk-row block gets its
+    inclusive prefix from ONE lower-triangular [blk, blk] contraction (the
+    0/1 mask is bf16-exact; x is hi/lo split so products are exact in the
+    f32 accumulator — only the ~2^-17 split rounding of x remains), plus a
+    tiny exclusive block-carry scan.
+    """
+    b, k = x.shape
+    pad = (-b) % blk
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, k), x.dtype)])
+    nb = x.shape[0] // blk
+    x3 = x.reshape(nb, blk, k)
+    r = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
+    tri = (c <= r).astype(jnp.bfloat16)  # lower-inclusive
+    dims = (((1,), (1,)), ((), ()))  # tri[s,t] x3[n,t,k] -> [s, n, k]
+    hi = x3.astype(jnp.bfloat16)
+    lo = (x3 - hi.astype(_F32)).astype(jnp.bfloat16)
+    d = lambda y: jax.lax.dot_general(tri, y, dims,
+                                      preferred_element_type=_F32)
+    within = (d(hi) + d(lo)).transpose(1, 0, 2)  # [nb, blk, k]
+    sums = within[:, -1, :]  # [nb, k]
+    carry = jnp.cumsum(sums, axis=0) - sums  # exclusive; nb is small
+    return (within + carry[:, None, :]).reshape(-1, k)[:b]
+
+
+@jax.custom_vjp
+def gather_pairs_segsum(attr_pad, pair_gauss, seg_cum):
+    """attr_pad[pair_gauss] with a segmented-sum backward.
+
+    The gather's autodiff is a [AB, ATTR_W] -> [N, ATTR_W] scatter-add that
+    runs at the measured ~10 ns/row TPU floor (11.3 ms at the bench shape —
+    the largest non-kernel stage; cf. the reference's atomicAdd accumulation,
+    SURVEY.md §2.2a step 4). This hand-written VJP computes the identical
+    sum as: sort pair grads by gaussian id (lax.sort ~2 ns/row, payload
+    columns nearly free) -> rows of one gaussian are now contiguous ->
+    blocked-MXU inclusive cumsum -> per-gaussian sums are differences of
+    the cumsum at segment boundaries (``seg_cum``, from
+    binning(count_by_gauss=True)) — one N-row gather.
+
+    ``seg_cum`` [N] must be the inclusive cumsum of per-original-gaussian
+    pair counts (the multiset of pair_gauss values < N). Padding pairs
+    (index N) sort past every real segment; their cotangents are zero by
+    construction (they gathered the zero NULL row) and never enter a
+    real gaussian's difference window.
+    """
+    return attr_pad[pair_gauss]
+
+
+def _gps_fwd(attr_pad, pair_gauss, seg_cum):
+    return attr_pad[pair_gauss], (pair_gauss, seg_cum, attr_pad.shape[0])
+
+
+def _gps_bwd(res, g):
+    pair_gauss, seg_cum, n1 = res  # n1 = N + 1 (incl. the NULL row)
+    ab, k = g.shape
+    cols = tuple(g[:, i] for i in range(k))
+    sorted_ = jax.lax.sort((pair_gauss,) + cols, num_keys=1, is_stable=False)
+    gs = jnp.stack(sorted_[1:], axis=1)  # [AB, K], gaussian-contiguous
+    csum = _cumsum_rows_mxu(gs)
+    # C(p) := inclusive cumsum at row p-1, C(0) = 0;  d[g] = C(end_g) - C(end_{g-1})
+    idx = jnp.clip(seg_cum - 1, 0, ab - 1)
+    at_end = jnp.where((seg_cum > 0)[:, None], csum[idx], 0.0)
+    d = at_end - jnp.concatenate([jnp.zeros((1, k), _F32), at_end[:-1]])
+    d_attr_pad = jnp.concatenate([d, jnp.zeros((n1 - d.shape[0], k), _F32)])
+    return d_attr_pad, None, None
+
+
+gather_pairs_segsum.defvjp(_gps_fwd, _gps_bwd)
 
 
 class CompositeStatic(NamedTuple):
@@ -631,11 +716,13 @@ def rasterize_tiled(
 
     backend = resolve_backend(cfg.backend)
     kernel_mode = _pick_kernel_mode(backend, pair_budget, cfg.chunk, num_tiles)
+    segsum = GRAD_REDUCE == "segsum"
     attr = pack_attributes(means2d, conics, colors, opacities)
     ab = binning.bin_gaussians_aligned(
         means2d, depths, bin_radii(radii, opacities), tiles_x, tiles_y,
         cfg.tile_w, cfg.tile_h, pair_budget,
         binning_align(cfg.chunk, backend, kernel_mode),
+        count_by_gauss=segsum,
     )
 
     # ONE packed gather per pair straight from the attribute table + one
@@ -645,8 +732,14 @@ def rasterize_tiled(
     # scatter-add): attrs as sort payload decomposed into nine 1.75 ms [N]
     # scatter-adds in the VJP (round 2); an intermediate depth-sorted table
     # cost an extra [N,9] gather + VJP scatter for nothing (round-3 trace).
+    # GRAD_REDUCE="segsum" swaps the scatter-add VJP for the sort-based
+    # segmented sum (see gather_pairs_segsum).
     attr_pad = jnp.concatenate([attr, jnp.zeros((1, ATTR_W), _F32)])
-    sp_attr = attr_pad[ab.pair_gauss]
+    if segsum:
+        seg_cum = binning.vec_cumsum(ab.gauss_counts).astype(jnp.int32)
+        sp_attr = gather_pairs_segsum(attr_pad, ab.pair_gauss, seg_cum)
+    else:
+        sp_attr = attr_pad[ab.pair_gauss]
 
     st = CompositeStatic(
         tiles_x=tiles_x,

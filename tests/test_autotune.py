@@ -122,10 +122,14 @@ def test_scan_prec_phase_restores_when_slower():
 
 
 def test_formulation_snapshot_roundtrip():
-    # set_formulation(True) must restore env-derived precisions (the
-    # bench A/B restore bug, ADVICE r3); snapshot API is exact
+    # set_formulation must restore env-derived precisions (the bench A/B
+    # restore bug, ADVICE r3); _DOT_PREC is orthogonal to the A/B (the
+    # color dots ride the MXU under both formulations) and must survive
+    # a flip in either direction; snapshot API is exact
     snap = rp.get_formulation()
     rp.set_formulation(False)
-    assert rp.get_formulation()["_DOT_PREC"] == "highest"
+    assert rp.get_formulation()["_DOT_PREC"] == rp._ENV_FORMULATION["_DOT_PREC"]
+    rp.set_formulation(True)
+    assert rp.get_formulation()["_DOT_PREC"] == rp._ENV_FORMULATION["_DOT_PREC"]
     rp.apply_formulation(snap)
     assert rp.get_formulation() == snap

@@ -81,25 +81,32 @@ print("VARIANT_OK")
 
 
 @pytest.mark.parametrize("env", [
-    # the legacy log-step/VPU paths (every MXU knob off) — the defaults
-    # are the MXU variants since round 3, so the classic formulation only
-    # gets coverage through this combination
+    # the shipped defaults since the round-4 hardware sweep (VPU scans +
+    # HIGH color dots), pinned explicitly
     {"GS_TPU_SCAN_MXU": "0", "GS_TPU_POWER_MXU": "0",
-     "GS_TPU_MOMENT_MXU": "0", "GS_TPU_DOT_PREC": "highest",
+     "GS_TPU_MOMENT_MXU": "0", "GS_TPU_DOT_PREC": "high",
      "CHECK_GOLDEN": "1"},
-    # single-knob-off attribution combos
-    {"GS_TPU_SCAN_MXU": "0", "CHECK_GOLDEN": "1"},
-    {"GS_TPU_POWER_MXU": "0", "CHECK_GOLDEN": "1"},
-    {"GS_TPU_MOMENT_MXU": "0", "CHECK_GOLDEN": "1"},
-    # all-on (the defaults, pinned explicitly)
+    # fully-classic formulation (dot at HIGHEST too)
+    {"GS_TPU_DOT_PREC": "highest", "CHECK_GOLDEN": "1"},
+    # single-knob-ON attribution combos (each MXU contraction exercised
+    # against the VPU remainder)
+    {"GS_TPU_SCAN_MXU": "1", "CHECK_GOLDEN": "1"},
+    {"GS_TPU_POWER_MXU": "1", "CHECK_GOLDEN": "1"},
+    {"GS_TPU_MOMENT_MXU": "high", "CHECK_GOLDEN": "1"},
+    # all-on MXU contraction formulation (the round-3 defaults; bench A/B
+    # still probes it every run)
     {"GS_TPU_SCAN_MXU": "1", "GS_TPU_POWER_MXU": "1",
      "GS_TPU_MOMENT_MXU": "high", "GS_TPU_DOT_PREC": "high",
      "CHECK_GOLDEN": "1"},
-    # tile-grid kernel mode under the MXU defaults (the hardware A/B combo)
+    # tile-grid kernel mode (the hardware A/B combo)
     {"GS_TPU_PALLAS_KERNEL": "tile", "CHECK_GOLDEN": "1"},
     # scan-contraction precision "high": 2-pass exact-mask bf16 tri dots
-    # (autotune phase-1.5 / bench A/B candidate)
-    {"GS_TPU_SCAN_PREC": "high", "CHECK_GOLDEN": "1"},
+    # (only meaningful with the scan contraction on)
+    {"GS_TPU_SCAN_MXU": "1", "GS_TPU_SCAN_PREC": "high",
+     "CHECK_GOLDEN": "1"},
+    # segmented-sum gradient reduction (sort + blocked-MXU cumsum replaces
+    # the pair-grad scatter-add; rasterize_tiled.gather_pairs_segsum)
+    {"GS_TPU_GRAD_REDUCE": "segsum", "CHECK_GOLDEN": "1"},
 ])
 def test_variant_parity(env):
     out = subprocess.run(

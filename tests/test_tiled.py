@@ -311,3 +311,65 @@ class TestKernelModeSelection:
         finally:
             rt._SMEM_TABLE_BUDGET = old
         np.testing.assert_allclose(out.image, ref, atol=1e-3, rtol=1e-3)
+
+
+class TestSegsumGradReduce:
+    """GRAD_REDUCE="segsum": sort+cumsum gradient reduction == scatter-add."""
+
+    def test_gather_pairs_segsum_vjp_matches_plain_gather(self):
+        from gs_tpu.ops.binning import vec_cumsum
+        from gs_tpu.ops.rasterize_tiled import gather_pairs_segsum
+
+        n, ab, k = 37, 256, 9
+        key = jax.random.PRNGKey(7)
+        k1, k2, k3 = jax.random.split(key, 3)
+        attr = jax.random.normal(k1, (n + 1, k))
+        # random per-gaussian counts (some zero), padding rows index n
+        counts = jax.random.randint(k2, (n,), 0, 9)
+        total = int(jnp.sum(counts))
+        assert total < ab
+        pair_gauss = np.full((ab,), n, np.int32)
+        pair_gauss[:total] = np.repeat(np.arange(n), np.asarray(counts))
+        # scatter the real pairs into random slots (tile-sorted order proxy)
+        perm = np.asarray(jax.random.permutation(k3, ab))
+        pair_gauss = jnp.asarray(pair_gauss[np.argsort(perm)])
+        seg_cum = vec_cumsum(counts.astype(jnp.int32))
+
+        cot = jax.random.normal(jax.random.PRNGKey(8), (ab, k))
+        # zero the padding cotangents (real pipelines produce exact zeros
+        # there: padding pairs gathered the zero NULL row)
+        cot = jnp.where((pair_gauss < n)[:, None], cot, 0.0)
+
+        f_seg = lambda a: jnp.vdot(gather_pairs_segsum(a, pair_gauss, seg_cum), cot)
+        f_ref = lambda a: jnp.vdot(a[pair_gauss], cot)
+        # tolerance: the blocked cumsum's bf16 hi/lo operand split rounds at
+        # ~2^-17 of the CUMSUM magnitude (not the segment sum) — ~1e-4 here
+        np.testing.assert_allclose(
+            jax.grad(f_seg)(attr), jax.grad(f_ref)(attr), rtol=1e-4, atol=1e-4)
+
+    def test_rasterize_grads_match_across_reduce_modes(self):
+        from gs_tpu.ops import rasterize_tiled as rt
+
+        h, w, n = 48, 64, 160
+        args = random_scene(jax.random.PRNGKey(11), n, h, w)
+        means2d, conics, colors, opac, depths, radii = args
+        bg = jnp.array([0.3, 0.2, 0.1])
+        target = jax.random.uniform(jax.random.PRNGKey(12), (3, h, w))
+
+        def loss(m, c, col, o):
+            out = rasterize_tiled(m, c, col, o, depths, radii, h, w, bg, CFG)
+            return jnp.mean((out.image - target) ** 2)
+
+        old = rt.GRAD_REDUCE
+        try:
+            rt.GRAD_REDUCE = "scatter"
+            g_sc = jax.grad(loss, argnums=(0, 1, 2, 3))(means2d, conics, colors, opac)
+            rt.GRAD_REDUCE = "segsum"
+            g_ss = jax.grad(loss, argnums=(0, 1, 2, 3))(means2d, conics, colors, opac)
+        finally:
+            rt.GRAD_REDUCE = old
+        for a, b, name in zip(g_sc, g_ss, ["means2d", "conics", "colors", "opacity"]):
+            scale = np.maximum(np.abs(np.asarray(a)).max(), 1e-3)
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-5 * scale,
+                err_msg=name)
