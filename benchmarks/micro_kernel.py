@@ -78,7 +78,12 @@ def main():
     configs = _json.loads(os.environ.get(
         "GS_TPU_MB_CONFIGS",
         "[[48,32,64],[48,32,128],[48,32,256],[32,16,64],[16,16,64],[16,16,256]]"))
-    for tw, th, chunk in configs:
+    for row in configs:
+        # [tw, th, chunk] or [tw, th, chunk, budget_x]: budget_x pads the
+        # pair buffer with DEAD chunks (same live work, bigger grid) — the
+        # delta vs budget_x=1 is the pure per-dead-grid-step cost
+        tw, th, chunk = row[:3]
+        budget_x = row[3] if len(row) > 3 else 1
         tiles_x, tiles_y = -(-W // tw), -(-H // th)
         cfg = RasterizeConfig(backend=backend, chunk=chunk, tile_w=tw,
                               tile_h=th)
@@ -103,7 +108,7 @@ def main():
             return attr, means2d, depths, radii.astype(jnp.int32), opac, npairs
 
         attr, means2d, depths, radii, opac, npairs = layout(state)
-        budget = -(-int(npairs) * 21 // (20 * chunk)) * chunk
+        budget = -(-int(npairs) * 21 * budget_x // (20 * chunk)) * chunk
 
         @jax.jit
         def binned(attr, means2d, depths, radii, opac):
@@ -141,7 +146,7 @@ def main():
         t_fwd = timed_chain(fwd) - rtt
         t_fb = timed_chain(fwdbwd) - rtt
         print(json.dumps({
-            "tile": f"{tw}x{th}", "chunk": chunk,
+            "tile": f"{tw}x{th}", "chunk": chunk, "budget_x": budget_x,
             "num_pairs": int(npairs), "budget_rows": int(sp_attr.shape[0]),
             "live_chunks": live_chunks,
             "fwd_ms": round(t_fwd * 1e3, 2),

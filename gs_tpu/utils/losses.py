@@ -5,15 +5,21 @@ Gaussian window, sigma 1.5, C1=0.01^2, C2=0.03^2, SAME zero padding. The total
 training loss is ``(1-lambda)*L1 + lambda*(1-SSIM)`` with lambda_dssim=0.2
 (``train.py:103-104``).
 
-TPU notes: the window conv is a depthwise 11x11 conv — two fused
-``lax.conv_general_dilated`` calls per statistic; XLA maps these onto the MXU.
-fp32 to keep loss parity with the reference.
+TPU notes: the separable 11-tap window blur is NOT a conv op here. A
+depthwise ``conv_general_dilated`` has no contraction dimension for the MXU,
+so XLA lowers it through conv-specific layouts — measured 19.8 ms of the
+94 ms train step at 1080p (round-4 device trace), ~7 ms of it pure
+relayout copies plus bf16 round-trips. An 11-tap blur is instead expressed
+as 11 statically-shifted multiply-adds over the image in its native layout:
+XLA fuses all taps into one vectorized pass per axis, no layout changes,
+full fp32. Same math, same SAME-zero-padding semantics.
 """
 
 from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +28,13 @@ SSIM_WINDOW = 11
 SSIM_SIGMA = 1.5
 SSIM_C1 = 0.01**2
 SSIM_C2 = 0.03**2
+
+# full-image blur backend: "shift" = 11 statically-shifted multiply-adds
+# (exact fp32, ~12.5 ms fwd+bwd in the 1080p train step, round-4 trace) or
+# "matmul" = banded [H,H]/[W,W] blur matrices on the MXU in 3 bf16 hi/lo
+# passes (~2^-17 operand-split error, far inside loss tolerances; the band
+# is 11/1920 nonzero but dense MXU MACs are cheap enough to win anyway).
+SSIM_BLUR = os.environ.get("GS_TPU_SSIM_BLUR", "shift")
 
 
 def l1_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
@@ -39,28 +52,84 @@ def _gaussian_window(window_size: int, sigma: float) -> tuple[float, ...]:
     return tuple(v / s for v in g)
 
 
+def _blur_axis(x: jnp.ndarray, win, axis: int, pad: tuple[int, int]):
+    """1-D windowed blur along ``axis`` via static-shift multiply-adds.
+
+    ``pad`` (lo, hi) zero-pads the axis first; the output keeps the padded
+    length minus (win.size - 1) — so (r, r) gives SAME-zero-padding, (0, 0)
+    gives VALID. Every tap is a static slice of one padded buffer: XLA
+    fuses the whole tap sum into a single vectorized pass in the input's
+    native layout (vs conv lowering: ~10x in layout copies, trace round 4).
+    Taps accumulate in index order — the same order the reference's conv
+    sums — in full fp32.
+    """
+    k = len(win)
+    if pad != (0, 0):
+        spec = [(0, 0)] * x.ndim
+        spec[axis] = pad
+        x = jnp.pad(x, spec)
+    out_len = x.shape[axis] - (k - 1)
+    acc = None
+    for i in range(k):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(i, i + out_len)
+        term = win[i] * x[tuple(sl)]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _band_matrix(n: int, win: jnp.ndarray) -> jnp.ndarray:
+    """[n, n] symmetric banded blur matrix: B[i, j] = win[j - i + r].
+
+    Multiplying by B along an axis IS the SAME-zero-padded window blur
+    (rows truncated at the edges contribute exactly zero, matching the
+    zero padding); the Gaussian window's symmetry makes B symmetric, so
+    the same matrix serves both contraction directions.
+    """
+    k = win.size
+    r = k // 2
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    d = j - i + r
+    return jnp.where((d >= 0) & (d < k), win[jnp.clip(d, 0, k - 1)], 0.0)
+
+
+def _bf16_split(x):
+    hi = x.astype(jnp.bfloat16)
+    return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def _blur_matmul(img: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
+    """MXU-path blur: two banded matmuls in 3 bf16 hi/lo passes each."""
+    c, h, w = img.shape
+    bh = _band_matrix(h, win)
+    bw = _band_matrix(w, win)
+
+    def mm3(a, b, dims):
+        ah, al = _bf16_split(a)
+        bhh, bl = _bf16_split(b)
+        d = lambda x, y: jax.lax.dot_general(
+            x, y, dims, preferred_element_type=jnp.float32)
+        return d(ah, bhh) + d(ah, bl) + d(al, bhh)
+
+    # rows: out[c,h,w] = sum_k B[h,k] x[c,k,w]
+    x = mm3(bh, img, (((1,), (1,)), ((), ())))  # [h, c, w]
+    x = x.transpose(1, 0, 2)
+    # cols: out[c,h,w] = sum_k x[c,h,k] B[k,w]
+    return mm3(x, bw, (((2,), (0,)), ((), ())))
+
+
 def _depthwise_blur(img: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
     """[C,H,W] -> [C,H,W] separable Gaussian blur with SAME zero padding.
 
-    All C channels ride ONE depthwise conv per axis — SSIM's five statistics
-    are stacked into a single [5*3,H,W] call by :func:`ssim` (ten separate
-    2-3 channel convs cost ~2x in launch/fusion overhead, trace round 2).
+    All C channels ride the same fused tap passes — SSIM's five statistics
+    are stacked into a single [5*3,H,W] call by :func:`ssim`.
     """
-    c = img.shape[0]
-    x = img[None]  # [1,C,H,W]
-    kh = win.reshape(1, 1, -1, 1)
-    kw = win.reshape(1, 1, 1, -1)
-    dn = jax.lax.conv_dimension_numbers(x.shape, (1, 1, win.size, 1), ("NCHW", "OIHW", "NCHW"))
-    pad = win.size // 2
-    x = jax.lax.conv_general_dilated(
-        x, jnp.tile(kh, (c, 1, 1, 1)), (1, 1), [(pad, pad), (0, 0)],
-        dimension_numbers=dn, feature_group_count=c,
-    )
-    x = jax.lax.conv_general_dilated(
-        x, jnp.tile(kw, (c, 1, 1, 1)), (1, 1), [(0, 0), (pad, pad)],
-        dimension_numbers=dn, feature_group_count=c,
-    )
-    return x[0]
+    if SSIM_BLUR == "matmul":
+        return _blur_matmul(img, win)
+    r = win.size // 2
+    x = _blur_axis(img, win, axis=1, pad=(r, r))
+    return _blur_axis(x, win, axis=2, pad=(r, r))
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = SSIM_WINDOW) -> jnp.ndarray:
@@ -93,22 +162,9 @@ def photometric_loss(
 
 def _depthwise_blur_rows_valid(img: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
     """[C,H+2p,W] -> [C,H,W] blur: VALID rows (halo supplied), SAME cols."""
-    c = img.shape[0]
-    x = img[None]
-    kh = win.reshape(1, 1, -1, 1)
-    kw = win.reshape(1, 1, 1, -1)
-    dn = jax.lax.conv_dimension_numbers(
-        x.shape, (1, 1, win.size, 1), ("NCHW", "OIHW", "NCHW"))
-    pad = win.size // 2
-    x = jax.lax.conv_general_dilated(
-        x, jnp.tile(kh, (c, 1, 1, 1)), (1, 1), [(0, 0), (0, 0)],
-        dimension_numbers=dn, feature_group_count=c,
-    )
-    x = jax.lax.conv_general_dilated(
-        x, jnp.tile(kw, (c, 1, 1, 1)), (1, 1), [(0, 0), (pad, pad)],
-        dimension_numbers=dn, feature_group_count=c,
-    )
-    return x[0]
+    r = win.size // 2
+    x = _blur_axis(img, win, axis=1, pad=(0, 0))
+    return _blur_axis(x, win, axis=2, pad=(r, r))
 
 
 def banded_photometric_terms(
