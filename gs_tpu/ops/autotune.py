@@ -109,46 +109,62 @@ def autotune_formulation(
 
     snap = rp.get_formulation()
     snap_mode = rp.KERNEL_MODE
+
+    def try_time(name, ccfg):
+        """Time one candidate; a compile/run failure disqualifies it only.
+
+        A candidate that fails to compile on some scene shape must not
+        kill a 30k-iteration run at startup (VERDICT r4 item 4): record it
+        as +inf (never the winner), warn, and keep probing the rest.
+        """
+        try:
+            return timer(state, camera, ccfg, steps)
+        except Exception as e:  # noqa: BLE001 — any candidate failure
+            log(f"[autotune] candidate {name} failed ({type(e).__name__}: "
+                f"{e}); skipping it")
+            return float("inf")
+
     results: dict = {}
-    try:
-        for name, mxu, mode in CANDIDATES:
-            rp.set_formulation(mxu)
-            rp.KERNEL_MODE = mode
-            results[name] = timer(state, camera, raster_cfg, steps)
-        winner = min(results, key=results.get)
-        _, mxu, mode = next(c for c in CANDIDATES if c[0] == winner)
+    for name, mxu, mode in CANDIDATES:
         rp.set_formulation(mxu)
         rp.KERNEL_MODE = mode
-        best_cfg = raster_cfg
-        # phase 1.5: scan-contraction precision on an MXU winner. _tri_dot
-        # "high" is the same triangular matmul in 2 exact-mask bf16 passes
-        # instead of HIGHEST's 6-pass fp32 emulation (x-split error ~2^-17,
-        # far inside training tolerances; parity combo in
-        # tests/test_pallas_variants.py) — 3 tri contractions per fwd+bwd
-        # make this one of the larger single knobs.
-        if mxu and rp._SCAN_PREC == "highest":
-            rp._SCAN_PREC = "high"
-            name = f"{winner}-sphigh"
-            results[name] = timer(state, camera, raster_cfg, steps)
-            if results[name] < results[winner]:
-                winner = name
-            else:
-                rp._SCAN_PREC = "highest"
-        if tune_chunk:
-            for chunk in (32, 128):
-                if chunk == raster_cfg.chunk:
-                    continue
-                ccfg = dataclasses.replace(raster_cfg, chunk=chunk)
-                name = f"{winner}-c{chunk}"
-                results[name] = timer(state, camera, ccfg, steps)
-                if results[name] < results[winner]:
-                    winner, best_cfg = name, ccfg
-    except Exception:
-        # a candidate failed to compile/run: restore the configured
-        # formulation and train with it rather than dying at startup
+        results[name] = try_time(name, raster_cfg)
+    winner = min(results, key=results.get)
+    if results[winner] == float("inf"):
+        # every candidate failed — restore the configured formulation and
+        # train with it rather than dying at startup
         rp.apply_formulation(snap)
         rp.KERNEL_MODE = snap_mode
-        raise
+        log("[autotune] every candidate failed; keeping the configured "
+            "formulation")
+        return None
+    _, mxu, mode = next(c for c in CANDIDATES if c[0] == winner)
+    rp.set_formulation(mxu)
+    rp.KERNEL_MODE = mode
+    best_cfg = raster_cfg
+    # phase 1.5: scan-contraction precision on an MXU winner. _tri_dot
+    # "high" is the same triangular matmul in 2 exact-mask bf16 passes
+    # instead of HIGHEST's 6-pass fp32 emulation (x-split error ~2^-17,
+    # far inside training tolerances; parity combo in
+    # tests/test_pallas_variants.py) — 3 tri contractions per fwd+bwd
+    # make this one of the larger single knobs.
+    if mxu and rp._SCAN_PREC == "highest":
+        rp._SCAN_PREC = "high"
+        name = f"{winner}-sphigh"
+        results[name] = try_time(name, raster_cfg)
+        if results[name] < results[winner]:
+            winner = name
+        else:
+            rp._SCAN_PREC = "highest"
+    if tune_chunk:
+        for chunk in (32, 128):
+            if chunk == raster_cfg.chunk:
+                continue
+            ccfg = dataclasses.replace(raster_cfg, chunk=chunk)
+            name = f"{winner}-c{chunk}"
+            results[name] = try_time(name, ccfg)
+            if results[name] < results[winner]:
+                winner, best_cfg = name, ccfg
     results["winner"] = winner
     results["cfg"] = best_cfg
     log("[autotune] kernel formulation: "
