@@ -73,6 +73,9 @@ def variants():
     # phase 3: gradient-reduction A/B at the phase-2 winner (keys prefixed
     # RT_ set rasterize_tiled globals — see apply_globals)
     v("legacy-dh-segsum", dict(ldh, RT_GRAD_REDUCE="segsum"))
+    # phase 4 (round 5): pairmove windowed one-hot MXU segment-reduce — the
+    # sort+pallas-reduce replacement for the [AB,9]->[N,9] scatter-add
+    v("legacy-dh-plred", dict(ldh, RT_GRAD_REDUCE="pallas"))
     return V
 
 

@@ -113,10 +113,16 @@ def pack_attributes(means2d, conics, colors, opacities):
     )
 
 
-# gradient reduction for the pair gather: "scatter" = plain autodiff (one
-# [AB, 9] -> [N, 9] scatter-add, ~10 ns/row) vs "segsum" = sort the pair
-# grads by gaussian id (~2 ns/row incl. payloads), blocked-MXU cumsum,
-# and a boundary gather of N rows — the same sum grouped contiguously.
+# gradient reduction for the pair gather (the role of the reference CUDA
+# backward's atomicAdd accumulation, SURVEY.md §2.2a step 4):
+#   "scatter" — plain autodiff: one [AB, 9] -> [N, 9] scatter-add
+#       (measured ~17.7 ns/scattered row on v5e = 13.5 ms at the bench
+#       shape, the largest non-kernel stage);
+#   "segsum"  — sort pair grads by gaussian id, blocked-MXU cumsum, boundary
+#       gather of N rows (12.2 ms standalone: measured neutral, round 4);
+#   "pallas"  — sort, then the pairmove windowed one-hot MXU segment-reduce
+#       kernel (sorted ids make each output block's pairs one contiguous
+#       HBM window; no scatter anywhere — see gs_tpu/ops/pairmove.py).
 # Trace-time global (A/B harnesses retrace); env-selectable like the
 # rasterize_pallas formulation knobs.
 GRAD_REDUCE = os.environ.get("GS_TPU_GRAD_REDUCE", "scatter")
@@ -184,12 +190,18 @@ def _gps_bwd(res, g):
     ab, k = g.shape
     cols = tuple(g[:, i] for i in range(k))
     sorted_ = jax.lax.sort((pair_gauss,) + cols, num_keys=1, is_stable=False)
-    gs = jnp.stack(sorted_[1:], axis=1)  # [AB, K], gaussian-contiguous
-    csum = _cumsum_rows_mxu(gs)
-    # C(p) := inclusive cumsum at row p-1, C(0) = 0;  d[g] = C(end_g) - C(end_{g-1})
-    idx = jnp.clip(seg_cum - 1, 0, ab - 1)
-    at_end = jnp.where((seg_cum > 0)[:, None], csum[idx], 0.0)
-    d = at_end - jnp.concatenate([jnp.zeros((1, k), _F32), at_end[:-1]])
+    if GRAD_REDUCE == "pallas":
+        from gs_tpu.ops import pairmove
+
+        packed = pairmove.pack_sorted_columns(sorted_[1:], sorted_[0])
+        d = pairmove.segment_reduce_packed(packed, seg_cum, n1 - 1)[:, :k]
+    else:
+        gs = jnp.stack(sorted_[1:], axis=1)  # [AB, K], gaussian-contiguous
+        csum = _cumsum_rows_mxu(gs)
+        # C(p) := incl. cumsum at row p-1, C(0)=0;  d[g] = C(end_g)-C(end_{g-1})
+        idx = jnp.clip(seg_cum - 1, 0, ab - 1)
+        at_end = jnp.where((seg_cum > 0)[:, None], csum[idx], 0.0)
+        d = at_end - jnp.concatenate([jnp.zeros((1, k), _F32), at_end[:-1]])
     d_attr_pad = jnp.concatenate([d, jnp.zeros((n1 - d.shape[0], k), _F32)])
     return d_attr_pad, None, None
 
@@ -716,7 +728,7 @@ def rasterize_tiled(
 
     backend = resolve_backend(cfg.backend)
     kernel_mode = _pick_kernel_mode(backend, pair_budget, cfg.chunk, num_tiles)
-    segsum = GRAD_REDUCE == "segsum"
+    segsum = GRAD_REDUCE in ("segsum", "pallas")
     attr = pack_attributes(means2d, conics, colors, opacities)
     ab = binning.bin_gaussians_aligned(
         means2d, depths, bin_radii(radii, opacities), tiles_x, tiles_y,

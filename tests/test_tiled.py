@@ -366,10 +366,14 @@ class TestSegsumGradReduce:
             g_sc = jax.grad(loss, argnums=(0, 1, 2, 3))(means2d, conics, colors, opac)
             rt.GRAD_REDUCE = "segsum"
             g_ss = jax.grad(loss, argnums=(0, 1, 2, 3))(means2d, conics, colors, opac)
+            rt.GRAD_REDUCE = "pallas"
+            g_pl = jax.grad(loss, argnums=(0, 1, 2, 3))(means2d, conics, colors, opac)
         finally:
             rt.GRAD_REDUCE = old
-        for a, b, name in zip(g_sc, g_ss, ["means2d", "conics", "colors", "opacity"]):
-            scale = np.maximum(np.abs(np.asarray(a)).max(), 1e-3)
-            np.testing.assert_allclose(
-                np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-5 * scale,
-                err_msg=name)
+        for g_alt, tag in ((g_ss, "segsum"), (g_pl, "pallas")):
+            for a, b, name in zip(g_sc, g_alt,
+                                  ["means2d", "conics", "colors", "opacity"]):
+                scale = np.maximum(np.abs(np.asarray(a)).max(), 1e-3)
+                np.testing.assert_allclose(
+                    np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-5 * scale,
+                    err_msg=f"{tag}:{name}")
