@@ -289,6 +289,21 @@ def main():
                 kernel_config = name
             else:
                 rp._SCAN_PREC = "highest"
+        # gather-free carry pipeline probe (round 5): attributes ride the
+        # binning sorts + interval-expand kernel instead of the pair gather,
+        # and the backward reduces sorted pair grads instead of scatter-
+        # adding (GRAD_REDUCE still selects the reduction). Kept if faster.
+        from gs_tpu.ops import rasterize_tiled as rt
+
+        if rt.PAIR_SOURCE != "carry":
+            rt.PAIR_SOURCE = "carry"
+            name = f"{kernel_config}-carry"
+            results[name] = (bench_fwd_bwd(state, cam, cfg, target, rtt), cfg)
+            if results[name][0] < dt:
+                dt = results[name][0]
+                kernel_config = name
+            else:
+                rt.PAIR_SOURCE = "gather"
         formulation_ms = {k: round(v[0] * 1e3, 2) for k, v in results.items()}
     pix_per_s = H * W / dt
 

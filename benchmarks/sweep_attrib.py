@@ -76,21 +76,43 @@ def variants():
     # phase 4 (round 5): pairmove windowed one-hot MXU segment-reduce — the
     # sort+pallas-reduce replacement for the [AB,9]->[N,9] scatter-add
     v("legacy-dh-plred", dict(ldh, RT_GRAD_REDUCE="pallas"))
+    # phase 5 (round 5): gather-free carry pipeline (attrs ride the binning
+    # sorts + interval-expand kernel; kills the pair gather AND the binning
+    # delta scatters) x the three gradient reductions, plus the expand
+    # kernel alone under the gather path
+    v("legacy-dh-carry", dict(ldh, RT_PAIR_SOURCE="carry"))
+    v("legacy-dh-carry-seg", dict(ldh, RT_PAIR_SOURCE="carry",
+                                  RT_GRAD_REDUCE="segsum"))
+    v("legacy-dh-carry-pl", dict(ldh, RT_PAIR_SOURCE="carry",
+                                 RT_GRAD_REDUCE="pallas"))
+    v("legacy-dh-binexp", dict(ldh, BIN_EXPAND="pallas"))
+    # carry at smaller tiles: the pair-count growth that used to kill small
+    # tiles now costs only sort rows, while kernel pixel-pair work shrinks
+    v("legacy-dh-carry-t32", dict(ldh, RT_PAIR_SOURCE="carry"),
+      dict(tile_w=32, tile_h=32))
+    v("legacy-dh-carry-t32x16", dict(ldh, RT_PAIR_SOURCE="carry"),
+      dict(tile_w=32, tile_h=16))
+    v("legacy-dh-carry-t32-tile", dict(ldh, RT_PAIR_SOURCE="carry",
+                                       KERNEL_MODE="tile"),
+      dict(tile_w=32, tile_h=32))
     return V
 
 
 def apply_rt(d):
+    from gs_tpu.ops import binning
     from gs_tpu.ops import rasterize_tiled as rt
 
     for k, val in d.items():
         if k.startswith("RT_"):
             setattr(rt, k[3:], val)
+        elif k == "BIN_EXPAND":
+            binning.EXPAND_IMPL = val
 
 
 def apply_globals(d):
     for k, val in d.items():
-        if k.startswith("RT_"):
-            continue  # rasterize_tiled globals, see apply_rt
+        if k.startswith("RT_") or k == "BIN_EXPAND":
+            continue  # rasterize_tiled / binning globals, see apply_rt
         setattr(rp, k, val)
 
 
@@ -126,7 +148,10 @@ def main():
             ("SCAN_MXU", "POWER_MXU", "MOMENT_MXU", "_SCAN_PREC",
              "_MOMENT_PREC", "_DOT_PREC", "KERNEL_MODE")}
     from gs_tpu.ops import rasterize_tiled as rt
-    rt_snap = {"RT_GRAD_REDUCE": rt.GRAD_REDUCE}
+    from gs_tpu.ops import binning as _binning
+    rt_snap = {"RT_GRAD_REDUCE": rt.GRAD_REDUCE,
+               "RT_PAIR_SOURCE": rt.PAIR_SOURCE,
+               "BIN_EXPAND": _binning.EXPAND_IMPL}
     rows = []
     try:
         for name, rpo, cfgo in variants():

@@ -21,10 +21,20 @@ number of recompiles, same strategy as Gaussian capacity growth).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+# pair-expansion implementation for bin_gaussians_aligned step 3 (the
+# per-slot owner fields): "scatter" = 3 packed delta-scatters + [B]-cumsums
+# (measured 6.9 ms at the bench shape — each scatter at the ~10 ns/row TPU
+# floor); "pallas" = the pairmove interval-expand kernel (windowed
+# interval-indicator MXU contraction over the monotone offsets — bitwise
+# identical output, no scatter, no B-length cumsum). Trace-time global;
+# callers can override per call.
+EXPAND_IMPL = os.environ.get("GS_TPU_BIN_EXPAND", "scatter")
 
 
 def tile_rect(
@@ -111,6 +121,11 @@ class AlignedBinningOut(NamedTuple):
     # exactly the multiset of pair_gauss values < N. Feeds the segmented-sum
     # gradient reduction (rasterize_tiled.gather_pairs_segsum).
     gauss_counts: jnp.ndarray | None = None
+    # carry_attr only: [K, AB] per-pair attribute columns, equal to
+    # carry_attr[pair_gauss] with a zero NULL row — carried through the
+    # interval-expand kernel and the pair sort instead of a B-row gather
+    # (bitwise-identical values; see pairmove.expand_intervals).
+    pair_attr_t: jnp.ndarray | None = None
 
 
 def vec_cumsum(x: jnp.ndarray) -> jnp.ndarray:
@@ -174,6 +189,8 @@ def bin_gaussians_aligned(
     col_offset=0,
     sort_payload: jnp.ndarray | None = None,
     count_by_gauss: bool = False,
+    carry_attr: jnp.ndarray | None = None,
+    expand_impl: str | None = None,
 ) -> AlignedBinningOut:
     """One-sort aligned binning, tuned for TPU gather/scatter costs.
 
@@ -186,6 +203,15 @@ def bin_gaussians_aligned(
     produces the final aligned, depth-ordered layout. Per-tile pair counts
     come from a corner-difference 2D cumsum over the tile grid (O(N + T)),
     not a B-length scatter.
+
+    ``carry_attr`` [N, K<=9] rides the depth sort as payload and (on the
+    pallas expand path) the interval-expand kernel + pair sort into
+    ``pair_attr_t`` [K, AB] — the per-pair attribute table with NO B-row
+    gather anywhere, bitwise equal to ``carry_attr[pair_gauss]`` (zero rows
+    for padding). Requires ``expand_impl='pallas'``. ``expand_impl`` None
+    reads the module global EXPAND_IMPL; the pallas path falls back to
+    scatter when the budget or N exceed the kernel's exact-f32 id range
+    (2^24).
 
     ``col_stride``/``col_offset`` restrict binning to every ``col_stride``-th
     tile COLUMN starting at ``col_offset`` (a traced device index is fine) —
@@ -221,19 +247,34 @@ def bin_gaussians_aligned(
     # caller's packed attribute table) — N narrow gathers through an argsort
     # permutation cost ~12 ns/row each on TPU while extra sort payloads are
     # nearly free, so this replaces 4-13 gathers with one sort
+    if expand_impl is None:
+        expand_impl = EXPAND_IMPL
+    if expand_impl == "pallas" and (pair_budget >= (1 << 24)
+                                    or n >= (1 << 24)):
+        expand_impl = "scatter"  # ids must stay exact-integer f32
+    assert carry_attr is None or expand_impl == "pallas", \
+        "carry_attr requires the pallas interval-expand path"
     iota = jnp.arange(n, dtype=jnp.int32)
     payload_cols = () if sort_payload is None else tuple(
         sort_payload[:, c] for c in range(sort_payload.shape[1])
     )
+    np_payload = len(payload_cols)
+    carry_cols = () if carry_attr is None else tuple(
+        carry_attr[:, c].astype(jnp.float32)
+        for c in range(carry_attr.shape[1])
+    )
     sorted_all = jax.lax.sort(
-        (safe_depth, iota, x0, y0, x1 - x0, y1 - y0) + payload_cols,
+        (safe_depth, iota, x0, y0, x1 - x0, y1 - y0) + payload_cols
+        + carry_cols,
         num_keys=1, is_stable=True,
     )
     depth_order = sorted_all[1]
     sx0, sy0, w, h = sorted_all[2], sorted_all[3], sorted_all[4], sorted_all[5]
     payload_ds = (
-        jnp.stack(sorted_all[6:], axis=1) if sort_payload is not None else None
+        jnp.stack(sorted_all[6:6 + np_payload], axis=1)
+        if sort_payload is not None else None
     )
+    carry_ds = sorted_all[6 + np_payload:]  # attr columns, depth order
     counts = (w * h).astype(jnp.int32)
     inc_cum = _cumsum_cols([counts])[0]  # inclusive
     offsets = inc_cum - counts
@@ -274,39 +315,65 @@ def bin_gaussians_aligned(
     #    contiguous, the fit mask is a depth prefix, so a slot is real iff
     #    slot < total surviving pairs.
     slot = jnp.arange(pair_budget, dtype=jnp.int32)
-    # pack the five owner fields into THREE int32 columns (scatter-add cost
-    # is per row x column; integer packing is delta/cumsum-exact):
-    #   colA = pair offset, colB = the owner's ORIGINAL index (depth_order
-    #   value — its cumsum is directly the gatherable Gaussian index, no
-    #   depth_order[...] re-gather needed),
-    #   colC = x0*2^18 + y0*2^9 + max(w,1)  (each field < 512 tiles)
     assert tiles_x_c < (1 << 9) and tiles_y < (1 << 9), (
-        "pack width: widen colC fields for >512-tile grids")
+        "pack width: widen packed coord fields for >512-tile grids")
     w1 = jnp.maximum(w, 1)
-    vals = jnp.stack(
-        [offsets, depth_order,
-         (sx0 << 18) + (sy0 << 9) + w1],
-        axis=1,
-    )  # [N,3]
-    deltas = jnp.concatenate([vals[:1], vals[1:] - vals[:-1]])
-    # per-column 1-D scatters: a [B+1, 3] destination gets a padded-lane
-    # (3 -> 128) tiled layout, making one wide scatter ~3x dearer than
-    # three packed 1-D ones (trace round 2: 10.5 ms vs ~4)
-    bufs = [
-        jnp.zeros((pair_budget + 1,), jnp.int32).at[offsets].add(
-            deltas[:, c], mode="drop"
-        )[:pair_budget]
-        for c in range(3)
-    ]
-    # per-slot owner fields via layout-friendly per-column scans
-    ex_off, ex_idx, ex_c = _cumsum_cols(bufs)
+    attr_slots = None
+    if expand_impl == "pallas":
+        # interval-expand kernel: slot p's owner is the unique depth-sorted
+        # gaussian with offsets[n] <= p < offsets[n] + fit-masked count —
+        # a windowed interval-indicator MXU contraction (bitwise-exact,
+        # see pairmove.expand_intervals) instead of delta scatters+cumsums.
+        # carry_attr columns ride the same kernel call.
+        from gs_tpu.ops import pairmove
+
+        ends_fit = offsets + jnp.where(fit, counts, 0)
+        cols = [offsets, depth_order, (sx0 << 9) + sy0, w1]
+        cols += list(carry_ds)
+        packed = pairmove.pack_interval_columns(offsets, ends_fit, cols)
+        exp = pairmove.expand_intervals(packed, offsets, pair_budget)
+        exp = exp[:, :pair_budget]
+        vr = pairmove.VALS_ROW
+        ex_off = exp[vr].astype(jnp.int32)
+        ex_idx = exp[vr + 1].astype(jnp.int32)
+        exy = exp[vr + 2].astype(jnp.int32)
+        ex_w = jnp.maximum(exp[vr + 3].astype(jnp.int32), 1)
+        ex_x0, ex_y0 = exy >> 9, exy & 0x1FF
+        if carry_attr is not None:
+            attr_slots = exp[vr + 4:vr + 4 + len(carry_ds)]
+    else:
+        # pack the five owner fields into THREE int32 columns (scatter-add
+        # cost is per row x column; integer packing is delta/cumsum-exact):
+        #   colA = pair offset, colB = the owner's ORIGINAL index
+        #   (depth_order value — its cumsum is directly the gatherable
+        #   Gaussian index, no depth_order[...] re-gather needed),
+        #   colC = x0*2^18 + y0*2^9 + max(w,1)  (each field < 512 tiles)
+        vals = jnp.stack(
+            [offsets, depth_order,
+             (sx0 << 18) + (sy0 << 9) + w1],
+            axis=1,
+        )  # [N,3]
+        deltas = jnp.concatenate([vals[:1], vals[1:] - vals[:-1]])
+        # per-column 1-D scatters: a [B+1, 3] destination gets a padded-lane
+        # (3 -> 128) tiled layout, making one wide scatter ~3x dearer than
+        # three packed 1-D ones (trace round 2: 10.5 ms vs ~4)
+        bufs = [
+            jnp.zeros((pair_budget + 1,), jnp.int32).at[offsets].add(
+                deltas[:, c], mode="drop"
+            )[:pair_budget]
+            for c in range(3)
+        ]
+        # per-slot owner fields via layout-friendly per-column scans
+        ex_off, ex_idx, ex_c = _cumsum_cols(bufs)
+        ex_w = ex_c & 0x1FF
+        ex_x0 = ex_c >> 18
+        ex_y0 = (ex_c >> 9) & 0x1FF
     orig = jnp.clip(ex_idx, 0, max(n - 1, 0)).astype(jnp.int32)
     local = slot - ex_off
-    ex_w = ex_c & 0x1FF
     total_fit = jnp.max(jnp.where(fit, inc_cum, 0))
     real_valid = slot < total_fit
-    tx = (ex_c >> 18) + local % ex_w
-    ty = ((ex_c >> 9) & 0x1FF) + local // ex_w
+    tx = ex_x0 + local % ex_w
+    ty = ex_y0 + local // ex_w
     real_tile = ty * tiles_x_c + tx
     real_key = jnp.where(real_valid, real_tile * 2, 2 * num_tiles + 2)
 
@@ -321,16 +388,29 @@ def bin_gaussians_aligned(
         2 * num_tiles + 2,
     )
 
-    # 5. ONE stable sort of keys+payload -> final aligned layout
+    # 5. ONE stable sort of keys+payload -> final aligned layout (the
+    #    carry_attr columns ride as extra payloads — nearly free)
     keys = jnp.concatenate([real_key, dummy_key]).astype(jnp.int32)
     payload = jnp.concatenate([orig, jnp.full((p_max,), -1, jnp.int32)])
     pad_to = ab - keys.shape[0]
     if pad_to > 0:
         keys = jnp.concatenate([keys, jnp.full((pad_to,), 2 * num_tiles + 2, jnp.int32)])
         payload = jnp.concatenate([payload, jnp.full((pad_to,), -1, jnp.int32)])
-    keys_sorted, orig_sorted = jax.lax.sort((keys, payload), num_keys=1,
-                                            is_stable=True)
+    attr_cols = () if attr_slots is None else tuple(
+        jnp.concatenate(
+            [attr_slots[c], jnp.zeros((p_max + max(pad_to, 0),), jnp.float32)])
+        for c in range(attr_slots.shape[0])
+    )
+    sorted_pairs = jax.lax.sort((keys, payload) + attr_cols, num_keys=1,
+                                is_stable=True)
+    keys_sorted, orig_sorted = sorted_pairs[0], sorted_pairs[1]
     is_real = (keys_sorted % 2 == 0) & (keys_sorted < 2 * num_tiles)
+    pair_attr_t = None
+    if attr_slots is not None:
+        # dummy/pad rows carried exact zeros; uncovered real-range slots
+        # expanded to exact zeros — so no masking pass is needed (matches
+        # the gather path's zero NULL row)
+        pair_attr_t = jnp.stack(sorted_pairs[2:], axis=0)
     # invalid slots point at the NULL row n: gathering through an attribute
     # table padded with one zero row makes padding pairs zero-opacity with
     # no separate mask multiply over the [AB, attrs] buffer
@@ -352,6 +432,7 @@ def bin_gaussians_aligned(
         num_pairs=num_pairs,
         payload_ds=payload_ds,
         gauss_counts=gauss_counts,
+        pair_attr_t=pair_attr_t,
     )
 
 

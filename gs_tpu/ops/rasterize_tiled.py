@@ -127,6 +127,17 @@ def pack_attributes(means2d, conics, colors, opacities):
 # rasterize_pallas formulation knobs.
 GRAD_REDUCE = os.environ.get("GS_TPU_GRAD_REDUCE", "scatter")
 
+# how per-pair attributes are materialized:
+#   "gather" — one [AB, 9] row gather through attr_pad[pair_gauss]
+#       (measured ~10.3 ns/row = 4.5 ms at the bench shape) with the
+#       GRAD_REDUCE backward;
+#   "carry"  — no gather: attributes ride the binning depth sort as
+#       payloads, the pairmove interval-expand kernel, and the pair sort
+#       (bitwise equal to the gather; see binning.bin_gaussians_aligned
+#       carry_attr). Backward is the same sort+segment-reduce as
+#       GRAD_REDUCE="pallas". Implies the pallas binning expansion.
+PAIR_SOURCE = os.environ.get("GS_TPU_PAIR_SOURCE", "gather")
+
 
 def _cumsum_rows_mxu(x: jnp.ndarray, blk: int = 256) -> jnp.ndarray:
     """Inclusive cumsum of x [B, K] along axis 0 via blocked MXU contractions.
@@ -185,8 +196,13 @@ def _gps_fwd(attr_pad, pair_gauss, seg_cum):
     return attr_pad[pair_gauss], (pair_gauss, seg_cum, attr_pad.shape[0])
 
 
-def _gps_bwd(res, g):
-    pair_gauss, seg_cum, n1 = res  # n1 = N + 1 (incl. the NULL row)
+def reduce_pair_grads(g, pair_gauss, seg_cum, n1):
+    """Sum per-pair gradient rows [AB, K] onto gaussians -> [n1, K].
+
+    The sort-based alternative to the scatter-add (both exact sums; see
+    the GRAD_REDUCE note). ``n1`` = N + 1 rows (incl. the NULL row, always
+    zero-gradient here: padding pairs composite against exact zeros).
+    """
     ab, k = g.shape
     cols = tuple(g[:, i] for i in range(k))
     sorted_ = jax.lax.sort((pair_gauss,) + cols, num_keys=1, is_stable=False)
@@ -202,11 +218,68 @@ def _gps_bwd(res, g):
         idx = jnp.clip(seg_cum - 1, 0, ab - 1)
         at_end = jnp.where((seg_cum > 0)[:, None], csum[idx], 0.0)
         d = at_end - jnp.concatenate([jnp.zeros((1, k), _F32), at_end[:-1]])
-    d_attr_pad = jnp.concatenate([d, jnp.zeros((n1 - d.shape[0], k), _F32)])
-    return d_attr_pad, None, None
+    return jnp.concatenate([d, jnp.zeros((n1 - d.shape[0], k), _F32)])
+
+
+def _gps_bwd(res, g):
+    pair_gauss, seg_cum, n1 = res  # n1 = N + 1 (incl. the NULL row)
+    return reduce_pair_grads(g, pair_gauss, seg_cum, n1), None, None
 
 
 gather_pairs_segsum.defvjp(_gps_fwd, _gps_bwd)
+
+
+# ----------------------------------------------------------------------------
+# gather-free pair attributes: bin + carry with a segment-reduce backward
+# ----------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def bin_carry_pairs(statics, attr, means2d, depths, radii_b):
+    """Binning with attributes carried to pair slots (PAIR_SOURCE="carry").
+
+    Replaces the [AB, ATTR_W] pair gather AND binning's delta scatters:
+    ``attr`` rides the depth sort, the pairmove interval-expand kernel and
+    the pair sort into per-pair order — bitwise equal to
+    ``attr_pad[pair_gauss]`` (binning.bin_gaussians_aligned carry_attr).
+    The backward is the sorted segment-reduce (reduce_pair_grads), i.e.
+    the same exact per-gaussian sum as the reference CUDA backward's
+    atomicAdd accumulation (SURVEY.md §2.2a step 4). Binning geometry
+    (means2d/depths/radii_b) is non-differentiable, as in the reference.
+
+    Returns (sp_attr [AB, ATTR_W], aux AlignedBinningOut sans pair_attr_t,
+    seg_cum).
+    """
+    return _bcp_impl(statics, attr, means2d, depths, radii_b)
+
+
+def _bcp_impl(statics, attr, means2d, depths, radii_b):
+    tiles_x, tiles_y, tile_w, tile_h, pair_budget, align = statics
+    ab = binning.bin_gaussians_aligned(
+        means2d, depths, radii_b, tiles_x, tiles_y, tile_w, tile_h,
+        pair_budget, align, count_by_gauss=True, carry_attr=attr,
+        expand_impl="pallas",
+    )
+    seg_cum = binning.vec_cumsum(ab.gauss_counts).astype(jnp.int32)
+    sp_attr = ab.pair_attr_t.T  # [AB, ATTR_W] compute layout
+    return sp_attr, ab._replace(pair_attr_t=None), seg_cum
+
+
+def _bcp_fwd(statics, attr, means2d, depths, radii_b):
+    out = _bcp_impl(statics, attr, means2d, depths, radii_b)
+    _, aux, seg_cum = out
+    return out, (aux.pair_gauss, seg_cum, attr.shape[0])
+
+
+def _bcp_bwd(statics, res, cts):
+    pair_gauss, seg_cum, n = res
+    g_sp = cts[0]  # cotangent of sp_attr; aux/seg_cum are int (float0)
+    d_attr = reduce_pair_grads(g_sp, pair_gauss, seg_cum, n + 1)[:n]
+    return (d_attr, jnp.zeros((n, 2), _F32), jnp.zeros((n,), _F32),
+            jnp.zeros((n,), _F32))
+
+
+bin_carry_pairs.defvjp(_bcp_fwd, _bcp_bwd)
 
 
 class CompositeStatic(NamedTuple):
@@ -730,28 +803,38 @@ def rasterize_tiled(
     kernel_mode = _pick_kernel_mode(backend, pair_budget, cfg.chunk, num_tiles)
     segsum = GRAD_REDUCE in ("segsum", "pallas")
     attr = pack_attributes(means2d, conics, colors, opacities)
-    ab = binning.bin_gaussians_aligned(
-        means2d, depths, bin_radii(radii, opacities), tiles_x, tiles_y,
-        cfg.tile_w, cfg.tile_h, pair_budget,
-        binning_align(cfg.chunk, backend, kernel_mode),
-        count_by_gauss=segsum,
-    )
-
-    # ONE packed gather per pair straight from the attribute table + one
-    # zero NULL row (padding pairs index it -> zero opacity, no mask pass
-    # over [AB, attrs]). Wide row gathers/scatters ARE the efficient movers
-    # for differentiable data (the gather's autodiff is one wide
-    # scatter-add): attrs as sort payload decomposed into nine 1.75 ms [N]
-    # scatter-adds in the VJP (round 2); an intermediate depth-sorted table
-    # cost an extra [N,9] gather + VJP scatter for nothing (round-3 trace).
-    # GRAD_REDUCE="segsum" swaps the scatter-add VJP for the sort-based
-    # segmented sum (see gather_pairs_segsum).
-    attr_pad = jnp.concatenate([attr, jnp.zeros((1, ATTR_W), _F32)])
-    if segsum:
-        seg_cum = binning.vec_cumsum(ab.gauss_counts).astype(jnp.int32)
-        sp_attr = gather_pairs_segsum(attr_pad, ab.pair_gauss, seg_cum)
+    align = binning_align(cfg.chunk, backend, kernel_mode)
+    use_carry = (PAIR_SOURCE == "carry" and pair_budget < (1 << 24)
+                 and n < (1 << 24))
+    if use_carry:
+        # gather-free: attributes carried through the binning sorts +
+        # interval-expand kernel; backward = sorted segment-reduce
+        statics = (tiles_x, tiles_y, cfg.tile_w, cfg.tile_h, pair_budget,
+                   align)
+        sp_attr, ab, _ = bin_carry_pairs(
+            statics, attr, means2d, depths, bin_radii(radii, opacities))
     else:
-        sp_attr = attr_pad[ab.pair_gauss]
+        ab = binning.bin_gaussians_aligned(
+            means2d, depths, bin_radii(radii, opacities), tiles_x, tiles_y,
+            cfg.tile_w, cfg.tile_h, pair_budget, align,
+            count_by_gauss=segsum,
+        )
+
+        # ONE packed gather per pair straight from the attribute table + one
+        # zero NULL row (padding pairs index it -> zero opacity, no mask pass
+        # over [AB, attrs]). Wide row gathers/scatters ARE the efficient
+        # movers for differentiable data (the gather's autodiff is one wide
+        # scatter-add): attrs as sort payload decomposed into nine 1.75 ms
+        # [N] scatter-adds in the VJP (round 2); an intermediate depth-sorted
+        # table cost an extra [N,9] gather + VJP scatter for nothing
+        # (round-3 trace). GRAD_REDUCE="segsum" swaps the scatter-add VJP for
+        # the sort-based segmented sum (see gather_pairs_segsum).
+        attr_pad = jnp.concatenate([attr, jnp.zeros((1, ATTR_W), _F32)])
+        if segsum:
+            seg_cum = binning.vec_cumsum(ab.gauss_counts).astype(jnp.int32)
+            sp_attr = gather_pairs_segsum(attr_pad, ab.pair_gauss, seg_cum)
+        else:
+            sp_attr = attr_pad[ab.pair_gauss]
 
     st = CompositeStatic(
         tiles_x=tiles_x,

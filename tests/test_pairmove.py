@@ -13,6 +13,10 @@ import jax.numpy as jnp
 import pytest
 
 from gs_tpu.ops.pairmove import (
+    EXPAND_W,
+    VALS_ROW,
+    expand_intervals,
+    pack_interval_columns,
     pack_sorted_columns,
     segment_reduce_packed,
     segment_reduce_sorted,
@@ -115,3 +119,85 @@ def test_packed_roundtrip_layout():
     sabs = np.zeros((n, 9))
     np.add.at(sabs, ids, np.abs(g))
     assert np.max(np.abs(out - ref) / (sabs + 1.0)) < 2e-5
+
+
+# ----------------------------------------------------------------------------
+# interval expand (the inverse movement: gaussian rows -> pair slots)
+# ----------------------------------------------------------------------------
+
+
+def _expand_ref(offsets, counts, cols, total):
+    """fp-free python expansion: out[:, p] = cols[:, owner(p)], else 0."""
+    k = len(cols)
+    out = np.zeros((k, total), np.float64)
+    for n in range(len(offsets)):
+        lo, hi = offsets[n], offsets[n] + counts[n]
+        for c in range(k):
+            out[c, lo:min(hi, total)] = cols[c][n]
+    return out
+
+
+def _run_expand(rng, n, total, rblk, wchunk, zero_frac=0.5, gap_frac=0.0):
+    counts = rng.integers(0, 9, size=n)
+    counts[rng.random(n) < zero_frac] = 0
+    gaps = (rng.random(n) < gap_frac) * rng.integers(1, 5, size=n)
+    offsets = (np.cumsum(counts + gaps) - counts).astype(np.int32)
+    ends = (offsets + counts).astype(np.int32)
+    cols = [(rng.normal(size=(n,)) * 10.0 ** rng.integers(-6, 6, size=n))
+            .astype(np.float32) for c in range(EXPAND_W - VALS_ROW)]
+    packed = pack_interval_columns(
+        jnp.asarray(offsets), jnp.asarray(ends),
+        [jnp.asarray(c) for c in cols], wchunk=wchunk)
+    out = np.asarray(expand_intervals(
+        packed, jnp.asarray(offsets), total, rblk=rblk, wchunk=wchunk))
+    ref = _expand_ref(offsets, counts, cols, total)
+    # truncating 3-way bf16 split -> the expansion must be BITWISE exact
+    np.testing.assert_array_equal(out[VALS_ROW:, :total],
+                                  ref[VALS_ROW - 2:][: EXPAND_W - VALS_ROW])
+
+
+def test_expand_exact_dense():
+    _run_expand(np.random.default_rng(0), 700, 2000, 256, 128, zero_frac=0.3)
+
+
+def test_expand_uncovered_slots_zero():
+    # gaps between intervals (the rasterizer's fit-overflow tail) stay 0
+    _run_expand(np.random.default_rng(1), 400, 1500, 128, 128, gap_frac=0.4)
+
+
+def test_expand_many_empty_intervals():
+    # long culled runs: many gaussians share one offset with count 0
+    _run_expand(np.random.default_rng(2), 3000, 900, 256, 256, zero_frac=0.95)
+
+
+def test_expand_integer_fields_exact():
+    # exact-integer owner fields (offsets, indices, packed coords) survive
+    rng = np.random.default_rng(3)
+    n, total = 900, 2600
+    counts = rng.integers(0, 7, size=n)
+    offsets = (np.cumsum(counts) - counts).astype(np.int32)
+    ends = (offsets + counts).astype(np.int32)
+    idx = rng.integers(0, (1 << 24) - 1, size=n).astype(np.int32)
+    cols = [jnp.asarray(offsets), jnp.asarray(idx)]
+    packed = pack_interval_columns(jnp.asarray(offsets), jnp.asarray(ends),
+                                   cols, wchunk=128)
+    out = np.asarray(expand_intervals(packed, jnp.asarray(offsets), total,
+                                      rblk=128, wchunk=128))
+    ref = _expand_ref(offsets, counts,
+                      [offsets.astype(np.float64), idx.astype(np.float64)],
+                      total)
+    np.testing.assert_array_equal(out[VALS_ROW, :total], ref[0])
+    np.testing.assert_array_equal(out[VALS_ROW + 1, :total], ref[1])
+
+
+def test_expand_one_giant_interval():
+    # a single splat spanning many output blocks (huge foreground gaussian)
+    offsets = np.array([0, 5000], np.int32)
+    ends = np.array([5000, 5003], np.int32)
+    cols = [jnp.asarray(np.array([3.25, -7.5], np.float32))]
+    packed = pack_interval_columns(jnp.asarray(offsets), jnp.asarray(ends),
+                                   cols, wchunk=128)
+    out = np.asarray(expand_intervals(packed, jnp.asarray(offsets), 5003,
+                                      rblk=256, wchunk=128))
+    assert np.all(out[VALS_ROW, :5000] == 3.25)
+    assert np.all(out[VALS_ROW, 5000:5003] == -7.5)

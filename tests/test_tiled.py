@@ -82,6 +82,34 @@ class TestBinning:
         counts = np.array([valid[s:e].sum() for s, e in zip(starts, ends)])
         assert counts.sum() == int(ab.valid.sum())
 
+    @pytest.mark.parametrize("budget_frac", [1.0, 0.5])
+    def test_expand_impl_pallas_matches_scatter(self, budget_frac):
+        # the interval-expand kernel path must be BITWISE identical to the
+        # delta-scatter path, including overflow truncation; carried attrs
+        # must equal the gather attr_pad[pair_gauss] exactly
+        args = random_scene(jax.random.PRNGKey(5), 300, 96, 128)
+        means2d, _, _, _, depths, radii = args
+        tx, ty, tw, th, align = 8, 6, 16, 16, 8
+        full = binning.bin_gaussians_aligned(
+            means2d, depths, radii, tx, ty, tw, th, 8192, align)
+        budget = max(int(int(full.num_pairs) * budget_frac), 8)
+        attr = jax.random.normal(jax.random.PRNGKey(6), (300, 9),
+                                 jnp.float32)
+        a = binning.bin_gaussians_aligned(
+            means2d, depths, radii, tx, ty, tw, th, budget, align,
+            count_by_gauss=True, expand_impl="scatter")
+        b = binning.bin_gaussians_aligned(
+            means2d, depths, radii, tx, ty, tw, th, budget, align,
+            count_by_gauss=True, expand_impl="pallas", carry_attr=attr)
+        for name in ("pair_gauss", "valid", "starts", "ends", "num_pairs",
+                     "depth_order", "gauss_counts"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+                err_msg=name)
+        attr_pad = jnp.concatenate([attr, jnp.zeros((1, 9), jnp.float32)])
+        ref = np.asarray(attr_pad)[np.asarray(b.pair_gauss)].T
+        np.testing.assert_array_equal(np.asarray(b.pair_attr_t), ref)
+
     def test_budget_sentinel_padding(self):
         args = random_scene(jax.random.PRNGKey(1), 10, 32, 32)
         means2d, _, _, _, depths, radii = args
@@ -377,3 +405,62 @@ class TestSegsumGradReduce:
                 np.testing.assert_allclose(
                     np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-5 * scale,
                     err_msg=f"{tag}:{name}")
+
+
+class TestPairCarry:
+    """PAIR_SOURCE="carry": gather-free pair attributes == the gather path."""
+
+    @pytest.mark.parametrize("grad_reduce", ["segsum", "pallas"])
+    def test_forward_bitwise_and_grads_match_gather(self, grad_reduce):
+        from gs_tpu.ops import rasterize_tiled as rt
+
+        h, w, n = 48, 64, 160
+        args = random_scene(jax.random.PRNGKey(21), n, h, w)
+        means2d, conics, colors, opac, depths, radii = args
+        bg = jnp.array([0.3, 0.2, 0.1])
+        target = jax.random.uniform(jax.random.PRNGKey(22), (3, h, w))
+
+        def run(m, c, col, o):
+            out = rasterize_tiled(m, c, col, o, depths, radii, h, w, bg, CFG)
+            return jnp.mean((out.image - target) ** 2), out.image
+
+        old_src, old_red = rt.PAIR_SOURCE, rt.GRAD_REDUCE
+        try:
+            rt.PAIR_SOURCE, rt.GRAD_REDUCE = "gather", "scatter"
+            (l0, img0), g0 = jax.value_and_grad(run, argnums=(0, 1, 2, 3),
+                                                has_aux=True)(
+                means2d, conics, colors, opac)
+            rt.PAIR_SOURCE, rt.GRAD_REDUCE = "carry", grad_reduce
+            (l1, img1), g1 = jax.value_and_grad(run, argnums=(0, 1, 2, 3),
+                                                has_aux=True)(
+                means2d, conics, colors, opac)
+        finally:
+            rt.PAIR_SOURCE, rt.GRAD_REDUCE = old_src, old_red
+        # the carried attributes are bitwise equal to the gathered ones, so
+        # the forward image must be IDENTICAL
+        np.testing.assert_array_equal(np.asarray(img1), np.asarray(img0))
+        for a, b, name in zip(g0, g1,
+                              ["means2d", "conics", "colors", "opacity"]):
+            scale = np.maximum(np.abs(np.asarray(a)).max(), 1e-3)
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-5 * scale,
+                err_msg=name)
+
+    def test_carry_pallas_backend_matches_oracle(self):
+        # the full pallas-kernel compositing on top of carried pairs
+        from gs_tpu.ops import rasterize_tiled as rt
+        from gs_tpu.ops.rasterize_oracle import rasterize_oracle
+
+        h, w, n = 48, 48, 96
+        args = random_scene(jax.random.PRNGKey(23), n, h, w)
+        bg = jnp.array([0.1, 0.5, 0.9])
+        ref = rasterize_oracle(*args, h, w, bg).image
+        cfg = RasterizeConfig(backend="pallas", chunk=8, tile_w=16,
+                              tile_h=16, pair_budget_factor=6.0)
+        old_src = rt.PAIR_SOURCE
+        try:
+            rt.PAIR_SOURCE = "carry"
+            out = rasterize_tiled(*args, h, w, bg, cfg)
+        finally:
+            rt.PAIR_SOURCE = old_src
+        np.testing.assert_allclose(out.image, ref, atol=1e-3, rtol=1e-3)
