@@ -81,6 +81,20 @@ VARIANTS = {
     # blocks) — prove they fit/lower.
     "tile96x64_c32": ({}, {"chunk": 32, "tile_w": 96, "tile_h": 64}),
     "tile128x64_c32": ({}, {"chunk": 32, "tile_w": 128, "tile_h": 64}),
+    # round-5 pair-movement kernels (RT_ keys set rasterize_tiled globals):
+    # the sorted segment-reduce backward, the gather-free carry pipeline
+    # (interval-expand kernel + sort payloads), and carry at the small-tile
+    # candidates it unlocks.
+    "grad_pallas": ({"RT_GRAD_REDUCE": "pallas"}, {}),
+    "carry": ({"RT_PAIR_SOURCE": "carry"}, {}),
+    "carry_grad_pallas": (
+        {"RT_PAIR_SOURCE": "carry", "RT_GRAD_REDUCE": "pallas"}, {}),
+    "carry_t32x32": ({"RT_PAIR_SOURCE": "carry"},
+                     {"tile_w": 32, "tile_h": 32}),
+    "carry_t16x16": ({"RT_PAIR_SOURCE": "carry"},
+                     {"tile_w": 16, "tile_h": 16}),
+    "carry_t16x16_tile": ({"RT_PAIR_SOURCE": "carry", "KERNEL_MODE": "tile"},
+                          {"tile_w": 16, "tile_h": 16}),
 }
 
 
@@ -122,7 +136,11 @@ _SHIPPED = rp.get_formulation()
 
 
 def apply_variant(spec):
-    """Set the rasterize_pallas formulation globals for one variant."""
+    """Set the rasterize_pallas / rasterize_tiled globals for one variant."""
+    from gs_tpu.ops import rasterize_tiled as rt
+
+    rt.PAIR_SOURCE = "gather"
+    rt.GRAD_REDUCE = "scatter"
     if spec == "legacy":
         rp.set_formulation(False)
         return
@@ -131,7 +149,10 @@ def apply_variant(spec):
         return
     rp.apply_formulation(_SHIPPED)
     for key, val in spec.items():
-        setattr(rp, key, val)
+        if key.startswith("RT_"):
+            setattr(rt, key[3:], val)
+        else:
+            setattr(rp, key, val)
 
 
 def compile_fwd_bwd(mesh, state, cam, cfg, label):
@@ -223,7 +244,7 @@ def main():
                     help="also compile the gauss-sharded step (pallas) "
                          "over the 4-chip topology mesh")
     ap.add_argument("--only", default=None,
-                    help="run a single variant by name")
+                    help="run selected variants (comma-separated names)")
     args = ap.parse_args()
 
     topo = topologies.get_topology_desc("v5e:2x2x1", platform="tpu")
@@ -234,7 +255,7 @@ def main():
     base = RasterizeConfig(backend="pallas", chunk=64, tile_w=48, tile_h=32,
                            pair_budget_factor=16.0)
 
-    names = [args.only] if args.only else list(VARIANTS)
+    names = args.only.split(",") if args.only else list(VARIANTS)
     failures = []
     for name in names:
         fspec, cfg_over = VARIANTS[name]

@@ -42,6 +42,9 @@ def timed_chain(fn, iters, rtt):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--only", type=str, default="",
+                    help="substring filter over bench names (compiles are "
+                         "minutes each on the 1-core box — skip the rest)")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -59,8 +62,11 @@ def main():
     print(f"rtt {rtt*1e3:.2f} ms   (B={B}, N={N})")
 
     def bench(name, fn):
+        if args.only and args.only not in name:
+            return None
         dt = timed_chain(fn, args.iters, rtt)
-        print(f"{name:52s} {dt*1e3:8.2f} ms   {dt/B*1e9:6.2f} ns/pair-row")
+        print(f"{name:52s} {dt*1e3:8.2f} ms   {dt/B*1e9:6.2f} ns/pair-row",
+              flush=True)
         return dt
 
     # 1. current: XLA scatter-add [B,9] -> [N,9], unsorted ids

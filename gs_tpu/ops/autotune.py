@@ -77,6 +77,7 @@ def autotune_formulation(
     timer: Callable | None = None,
     force: bool = False,
     tune_chunk: bool = True,
+    tune_movement: bool = True,
     log: Callable[[str], None] = print,
 ) -> dict | None:
     """Time each kernel candidate at the real scene shape; keep the winner.
@@ -165,6 +166,23 @@ def autotune_formulation(
             results[name] = try_time(name, ccfg)
             if results[name] < results[winner]:
                 winner, best_cfg = name, ccfg
+    if tune_movement:
+        # phase 3 (round 5): pair-movement pipeline. The carry path (attrs
+        # through the binning sorts + interval-expand kernel, sorted
+        # segment-reduce backward — rasterize_tiled.PAIR_SOURCE) removes
+        # the pair gather and binning scatters; which side wins depends on
+        # scene shape, so measure at the winner formulation/chunk.
+        from gs_tpu.ops import rasterize_tiled as rt
+
+        other = "carry" if rt.PAIR_SOURCE == "gather" else "gather"
+        snap_src = rt.PAIR_SOURCE
+        rt.PAIR_SOURCE = other
+        name = f"{winner}+{other}"
+        results[name] = try_time(name, best_cfg)
+        if results[name] < results[winner]:
+            winner = name
+        else:
+            rt.PAIR_SOURCE = snap_src
     results["winner"] = winner
     results["cfg"] = best_cfg
     log("[autotune] kernel formulation: "

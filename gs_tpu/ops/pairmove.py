@@ -17,28 +17,30 @@ This module replaces the scatter with a layout the hardware likes:
   3. the Pallas kernel below makes the grid one step per OUTPUT block of
      ``gb`` consecutive Gaussian ids. Because ids are sorted, all pairs of
      a block live in one contiguous input window — streamed HBM->VMEM in
-     ``rows``-row chunks (double-buffered DMA), reduced on the MXU by a
-     one-hot contraction
+     ``rows``-row chunks (double-buffered DMA), reduced on the MXU by an
+     INTERVAL-indicator contraction on the global sorted row index
 
-         out[g, :] += sum_r (id_r == g) * vals[r, :]
+         out[:, g] += sum_r (seg_lo[g] <= r < seg_hi[g]) * vals[:, r]
 
-     The 0/1 one-hot operand is exact in bf16 and the f32 values are hi/lo
-     bf16-split (products exact in the f32 accumulator; only the ~2^-17
-     split rounding of the values remains — the same decomposition as
-     rasterize_tiled._cumsum_rows_mxu). Rows outside a block's id range
-     (window alignment slack, padding rows with id == n) zero themselves
-     in the compare: no masking, no edge cases, no scatter.
-
-Measured (benchmarks/micro_reduce.py, v5e, B=762k / N=262k): the reduce
-runs at HBM-stream speed (~0.5-1 ms) vs 6.4 ms for the XLA
-cumsum+boundary-gather tail it replaces and 13.5 ms for the scatter-add.
+     (sorted ids make membership an interval test — no id column is read).
+     The 0/1 indicator is exact in bf16 and the f32 values are split into
+     THREE bf16 terms by mantissa truncation — exact for every finite f32
+     (bf16 is the top 16 bits of f32; see _trunc_split3) — so each
+     product/sum is exact in the f32 accumulator: the reduce differs from
+     a sequential sum only in association order. Rows outside a block's
+     segments (window alignment slack, padding) zero themselves in the
+     compare: no masking, no edge cases, no scatter.
 
 Layout note: values travel TRANSPOSED as one packed [16, B] f32 array
-(9 gradient columns + the ids as exact-integer f32 in row IDS_ROW + zero
-pad). [B, 16] row layout would sublane-pad every DMA; the transposed form
-keeps the minor dimension large and 128-aligned, and the kernel contracts
-directly against the [16, R] block (dot_general on the shared minor axis)
-so nothing is ever transposed in VMEM.
+([B, 16] row layout would sublane-pad every DMA; the 128-aligned minor
+dimension keeps DMA dense), and the contraction is MXU-native:
+vals[16, rows] @ ind[rows, gb] contracts vals' minor axis against ind's
+MAJOR axis — the layout the MXU consumes without relayout. (The first
+formulation compared a per-pair id row against a gaussian-axis iota and
+contracted the minor axes of BOTH operands; Mosaic had to transpose an
+operand per chunk, which measured ~70x off stream speed on hardware.)
+The [rows, gb] indicator needs no transposes either: the row iota varies
+along sublanes, the [2, gb] segment bounds broadcast along lanes.
 """
 
 from __future__ import annotations
@@ -58,16 +60,25 @@ PACK_W = 16  # packed rows: 0..8 gradient columns, IDS_ROW ids, rest zero
 IDS_ROW = 9
 
 
-def _segred_kernel(astart_ref, nch_ref, vals_hbm, out_ref, buf, sem,
-                   *, gb, rows, k):
+def _segred_kernel(astart_ref, nch_ref, vals_hbm, bounds_ref, out_ref,
+                   buf, sem, *, gb, rows, k):
+    """Transposed-output segment reduce, MXU-native contraction.
+
+    out_t[KP, gb] += vals[KP, rows] @ ind[rows, gb] — vals' minor (lane)
+    axis contracts against ind's MAJOR axis, the layout the MXU consumes
+    without relayout (the first formulation contracted the minor axes of
+    BOTH operands, which Mosaic had to transpose per chunk). ``ind`` is an
+    INTERVAL indicator on the global sorted-pair row index — sorted ids
+    make "row belongs to gaussian g" equivalent to
+    seg_lo[g] <= row < seg_hi[g], so no per-pair id column is ever read
+    and the indicator needs no transposes: the row iota varies along
+    sublanes, the [2, gb] segment bounds broadcast along lanes.
+    """
     j = pl.program_id(0)
     astart = astart_ref[j]
     nch = nch_ref[j]
-    g0f = (j * gb).astype(_F32)
 
     out_ref[:] = jnp.zeros_like(out_ref)
-    # block-relative gaussian index per output row, as exact-integer f32
-    gi = jax.lax.broadcasted_iota(jnp.int32, (gb, rows), 0).astype(_F32) + g0f
 
     def dma(c):
         slot = jax.lax.rem(c, 2)
@@ -89,13 +100,18 @@ def _segred_kernel(astart_ref, nch_ref, vals_hbm, out_ref, buf, sem,
             dma(c).wait()
             slot = jax.lax.rem(c, 2)
             blk = buf[slot]  # [PACK_W, rows]
-            oneh = (blk[IDS_ROW:IDS_ROW + 1, :] == gi).astype(jnp.bfloat16)
-            hi = blk.astype(jnp.bfloat16)
-            lo = (blk - hi.astype(_F32)).astype(jnp.bfloat16)
-            dims = (((1,), (1,)), ((), ()))  # contract the shared minor axis
-            d = lambda y: jax.lax.dot_general(oneh, y, dims,
+            # global sorted-pair row index, exact-int f32, sublane axis
+            r0 = (astart + c * rows).astype(_F32)
+            ri = jax.lax.broadcasted_iota(
+                jnp.int32, (rows, gb), 0).astype(_F32) + r0
+            lo = bounds_ref[0:1, :]  # [1, gb] broadcast over rows
+            hi = bounds_ref[1:2, :]
+            ind = ((lo <= ri) & (ri < hi)).astype(jnp.bfloat16)  # [rows, gb]
+            h1, h2, h3 = _trunc_split3(blk)
+            dims = (((1,), (0,)), ((), ()))  # vals[KP, rows] @ ind[rows, gb]
+            d = lambda y: jax.lax.dot_general(y, ind, dims,
                                               preferred_element_type=_F32)
-            out_ref[:] += d(hi) + d(lo)
+            out_ref[:] += d(h1) + d(h2) + d(h3)
             return 0
 
         jax.lax.fori_loop(0, nch, body, 0)
@@ -105,47 +121,65 @@ def segment_reduce_packed(packed, seg_cum, n, *, window=256, rows=512,
                           k=PACK_W):
     """Segment-sum a gaussian-sorted packed [PACK_W, BP] buffer -> [n, k].
 
-    ``packed`` rows 0..k-1 are the value columns; row IDS_ROW holds each
-    pair's gaussian id as exact-integer f32, sorted ascending, with padding
-    rows carrying id >= n and zero values. BP must be a multiple of 128
-    with at least ``rows`` columns of id>=n slack past the last real row
-    (the last DMA window may overrun the final segment end).
+    ``packed`` rows 0..k-1 are the value columns, sorted by owning
+    gaussian id ascending, with padding rows past the last real pair
+    carrying zero values (their row index falls outside every segment —
+    the interval indicator never selects them, so their values are
+    actually free to be anything). Row IDS_ROW is accepted for layout
+    compatibility but never read. BP must be a multiple of 128 with at
+    least ``rows`` columns of slack past the last real row (the last DMA
+    window may overrun the final segment end).
 
     ``seg_cum`` [n] is the inclusive cumsum of per-gaussian pair counts.
+    Exact: truncating 3-way bf16 value split (see the expand note) —
+    every partial product/sum is exact; only the cross-chunk accumulation
+    order differs from a sequential sum.
     """
     assert rows % 128 == 0, "DMA chunk must be lane-aligned"
+    assert window % 128 == 0, "output block must be lane-aligned"
     assert packed.shape[0] == PACK_W
     bp = packed.shape[1]
     assert bp % 128 == 0
     nb = -(-n // window)
     jarr = jnp.arange(nb, dtype=jnp.int32)
     # window [block_start, block_end) in sorted-pair space; start aligned
-    # down to 128 (rows ahead of it belong to earlier blocks -> id < g0 ->
-    # zeroed by the one-hot compare)
+    # down to 128 (rows ahead of it belong to earlier segments -> outside
+    # the block's [lo, hi) intervals -> zeroed by the indicator)
     block_start = jnp.where(
         jarr == 0, 0, seg_cum[jnp.clip(jarr * window - 1, 0, n - 1)])
     block_end = seg_cum[jnp.clip((jarr + 1) * window - 1, 0, n - 1)]
     astart = (block_start // 128) * 128
     nch = -(-(jnp.maximum(block_end - astart, 0)) // rows)
 
+    # per-gaussian [lo, hi) sorted-row intervals, padded to the block grid
+    # (padding gaussians get empty intervals)
+    npad = nb * window
+    lo_b = jnp.concatenate([jnp.zeros((1,), jnp.int32), seg_cum[:-1]])
+    bounds = jnp.zeros((2, npad), jnp.float32)
+    bounds = bounds.at[0, :n].set(lo_b.astype(_F32))
+    bounds = bounds.at[1, :n].set(seg_cum.astype(_F32))
+
     kernel = functools.partial(_segred_kernel, gb=window, rows=rows, k=k)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # astart, nch
         grid=(nb,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((window, k), lambda j, a, c: (j, 0)),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((2, window), lambda j, a, c: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((PACK_W, window), lambda j, a, c: (0, j)),
         scratch_shapes=[
             pltpu.VMEM((2, PACK_W, rows), _F32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    out = pl.pallas_call(
+    out_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb * window, k), _F32),
+        out_shape=jax.ShapeDtypeStruct((PACK_W, nb * window), _F32),
         interpret=_interpret(),
-    )(astart.astype(jnp.int32), nch.astype(jnp.int32), packed)
-    return out[:n]
+    )(astart.astype(jnp.int32), nch.astype(jnp.int32), packed, bounds)
+    return out_t[:, :n].T
 
 
 def pack_sorted_columns(cols, ids_sorted, rows=512):

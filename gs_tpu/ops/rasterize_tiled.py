@@ -206,7 +206,9 @@ def reduce_pair_grads(g, pair_gauss, seg_cum, n1):
     ab, k = g.shape
     cols = tuple(g[:, i] for i in range(k))
     sorted_ = jax.lax.sort((pair_gauss,) + cols, num_keys=1, is_stable=False)
-    if GRAD_REDUCE == "pallas":
+    # the pallas kernel's interval indicator compares exact-integer f32 row
+    # indices — beyond 2^24 rows fall back to the MXU-cumsum reduction
+    if GRAD_REDUCE == "pallas" and ab < (1 << 24) and n1 < (1 << 24):
         from gs_tpu.ops import pairmove
 
         packed = pairmove.pack_sorted_columns(sorted_[1:], sorted_[0])
@@ -235,7 +237,7 @@ gather_pairs_segsum.defvjp(_gps_fwd, _gps_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def bin_carry_pairs(statics, attr, means2d, depths, radii_b):
+def bin_carry_pairs(statics, attr, means2d, depths, radii_b, col_offset=0.0):
     """Binning with attributes carried to pair slots (PAIR_SOURCE="carry").
 
     Replaces the [AB, ATTR_W] pair gather AND binning's delta scatters:
@@ -247,26 +249,31 @@ def bin_carry_pairs(statics, attr, means2d, depths, radii_b):
     atomicAdd accumulation (SURVEY.md §2.2a step 4). Binning geometry
     (means2d/depths/radii_b) is non-differentiable, as in the reference.
 
+    ``statics`` = (tiles_x, tiles_y, tile_w, tile_h, pair_budget, align,
+    col_stride); ``col_offset`` (f32 scalar, may be a traced device index)
+    + col_stride > 1 select a tile-column strip (the sharded layouts).
+
     Returns (sp_attr [AB, ATTR_W], aux AlignedBinningOut sans pair_attr_t,
     seg_cum).
     """
-    return _bcp_impl(statics, attr, means2d, depths, radii_b)
+    return _bcp_impl(statics, attr, means2d, depths, radii_b, col_offset)
 
 
-def _bcp_impl(statics, attr, means2d, depths, radii_b):
-    tiles_x, tiles_y, tile_w, tile_h, pair_budget, align = statics
+def _bcp_impl(statics, attr, means2d, depths, radii_b, col_offset):
+    tiles_x, tiles_y, tile_w, tile_h, pair_budget, align, col_stride = statics
     ab = binning.bin_gaussians_aligned(
         means2d, depths, radii_b, tiles_x, tiles_y, tile_w, tile_h,
         pair_budget, align, count_by_gauss=True, carry_attr=attr,
-        expand_impl="pallas",
+        expand_impl="pallas", col_stride=col_stride,
+        col_offset=jnp.asarray(col_offset, jnp.int32),
     )
     seg_cum = binning.vec_cumsum(ab.gauss_counts).astype(jnp.int32)
     sp_attr = ab.pair_attr_t.T  # [AB, ATTR_W] compute layout
     return sp_attr, ab._replace(pair_attr_t=None), seg_cum
 
 
-def _bcp_fwd(statics, attr, means2d, depths, radii_b):
-    out = _bcp_impl(statics, attr, means2d, depths, radii_b)
+def _bcp_fwd(statics, attr, means2d, depths, radii_b, col_offset):
+    out = _bcp_impl(statics, attr, means2d, depths, radii_b, col_offset)
     _, aux, seg_cum = out
     return out, (aux.pair_gauss, seg_cum, attr.shape[0])
 
@@ -276,7 +283,7 @@ def _bcp_bwd(statics, res, cts):
     g_sp = cts[0]  # cotangent of sp_attr; aux/seg_cum are int (float0)
     d_attr = reduce_pair_grads(g_sp, pair_gauss, seg_cum, n + 1)[:n]
     return (d_attr, jnp.zeros((n, 2), _F32), jnp.zeros((n,), _F32),
-            jnp.zeros((n,), _F32))
+            jnp.zeros((n,), _F32), jnp.zeros((), _F32))
 
 
 bin_carry_pairs.defvjp(_bcp_fwd, _bcp_bwd)
@@ -810,7 +817,7 @@ def rasterize_tiled(
         # gather-free: attributes carried through the binning sorts +
         # interval-expand kernel; backward = sorted segment-reduce
         statics = (tiles_x, tiles_y, cfg.tile_w, cfg.tile_h, pair_budget,
-                   align)
+                   align, 1)
         sp_attr, ab, _ = bin_carry_pairs(
             statics, attr, means2d, depths, bin_radii(radii, opacities))
     else:

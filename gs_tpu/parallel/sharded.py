@@ -86,22 +86,35 @@ def composite_strip(st, means2d, depths, bin_radii_v, attr, n_shard, me,
     pre-composite cost by the shard count. Returns
     (tile_color [T_local,P,3] with bg NOT applied, tile_t, local num_pairs).
     """
+    from gs_tpu.ops import rasterize_tiled as rt
     from gs_tpu.ops.rasterize_tiled import binning_align
 
     local_budget = local_pair_budget(pair_budget, n_shard, st.chunk)
-    ab = binning.bin_gaussians_aligned(
-        means2d, depths, bin_radii_v,
-        st.tiles_x, st.tiles_y, st.tile_w, st.tile_h, local_budget,
-        binning_align(st.chunk, st.backend, st.kernel_mode),
-        col_stride=n_shard, col_offset=me,
-    )
-    # ONE packed gather per local pair straight from the attribute table +
-    # zero NULL row (padding pairs index it; no mask pass needed); see
-    # rasterize_tiled for why attrs do NOT ride the sort as payload
-    attr_pad = jnp.concatenate(
-        [attr, jnp.zeros((1, ATTR_W), jnp.float32)]
-    )
-    sp_attr = attr_pad[ab.pair_gauss]
+    align = binning_align(st.chunk, st.backend, st.kernel_mode)
+    n = means2d.shape[0]
+    if (rt.PAIR_SOURCE == "carry" and local_budget < (1 << 24)
+            and n < (1 << 24)):
+        # gather-free carry pipeline on the local strip (see
+        # rasterize_tiled.bin_carry_pairs); backward = sorted segment-reduce
+        statics = (st.tiles_x, st.tiles_y, st.tile_w, st.tile_h,
+                   local_budget, align, n_shard)
+        sp_attr, ab, _ = rt.bin_carry_pairs(
+            statics, attr, means2d, depths,
+            bin_radii_v.astype(jnp.float32), me.astype(jnp.float32))
+    else:
+        ab = binning.bin_gaussians_aligned(
+            means2d, depths, bin_radii_v,
+            st.tiles_x, st.tiles_y, st.tile_w, st.tile_h, local_budget,
+            align, col_stride=n_shard, col_offset=me,
+        )
+        # ONE packed gather per local pair straight from the attribute
+        # table + zero NULL row (padding pairs index it; no mask pass
+        # needed); see rasterize_tiled for why attrs do NOT ride the sort
+        # as payload on this path
+        attr_pad = jnp.concatenate(
+            [attr, jnp.zeros((1, ATTR_W), jnp.float32)]
+        )
+        sp_attr = attr_pad[ab.pair_gauss]
 
     my_tiles, _ = local_to_global_tiles(st, n_shard, me)
     ends = ab.ends

@@ -32,11 +32,47 @@ def test_picks_winner_and_sets_globals():
         {"mxu-chunk": 0.05, "vpu-chunk": 0.02, "mxu-tile": 0.08})
     res = autotune.autotune_formulation(
         None, None, RasterizeConfig(backend="pallas"),
-        timer=timer, force=True, tune_chunk=False, log=lambda s: None)
+        timer=timer, force=True, tune_chunk=False, tune_movement=False,
+        log=lambda s: None)
     assert res["winner"] == "vpu-chunk"
     assert res["cfg"].chunk == 64
     assert calls == ["mxu-chunk", "vpu-chunk", "mxu-tile"]
     assert rp.SCAN_MXU is False and rp.KERNEL_MODE == "chunk"
+
+
+def test_movement_phase_keeps_faster_carry():
+    from gs_tpu.ops import rasterize_tiled as rt
+
+    assert rt.PAIR_SOURCE == "gather"
+
+    def timer(state, camera, cfg, steps):
+        name = f"{'mxu' if rp.SCAN_MXU else 'vpu'}-{rp.KERNEL_MODE}"
+        base = {"mxu-chunk": 0.05, "vpu-chunk": 0.02, "mxu-tile": 0.08}[name]
+        return base * (0.7 if rt.PAIR_SOURCE == "carry" else 1.0)
+
+    try:
+        res = autotune.autotune_formulation(
+            None, None, RasterizeConfig(backend="pallas"),
+            timer=timer, force=True, tune_chunk=False, log=lambda s: None)
+        assert res["winner"] == "vpu-chunk+carry"
+        assert rt.PAIR_SOURCE == "carry"
+    finally:
+        rt.PAIR_SOURCE = "gather"
+
+
+def test_movement_phase_restores_when_slower():
+    from gs_tpu.ops import rasterize_tiled as rt
+
+    def timer(state, camera, cfg, steps):
+        name = f"{'mxu' if rp.SCAN_MXU else 'vpu'}-{rp.KERNEL_MODE}"
+        base = {"mxu-chunk": 0.05, "vpu-chunk": 0.02, "mxu-tile": 0.08}[name]
+        return base * (1.4 if rt.PAIR_SOURCE == "carry" else 1.0)
+
+    res = autotune.autotune_formulation(
+        None, None, RasterizeConfig(backend="pallas"),
+        timer=timer, force=True, tune_chunk=False, log=lambda s: None)
+    assert res["winner"] == "vpu-chunk"
+    assert rt.PAIR_SOURCE == "gather"
 
 
 def test_tile_winner_sets_kernel_mode():

@@ -75,7 +75,7 @@ def test_one_giant_segment():
     counts = np.bincount(ids, minlength=n)
     seg_cum = jnp.asarray(np.cumsum(counts).astype(np.int32))
     out = np.asarray(segment_reduce_sorted(
-        jnp.asarray(g), jnp.asarray(ids), seg_cum, n, window=64, rows=256))
+        jnp.asarray(g), jnp.asarray(ids), seg_cum, n, window=128, rows=256))
     ref = _ref(ids, g, n)
     sabs = np.zeros((n, 9))
     np.add.at(sabs, ids, np.abs(g))

@@ -261,6 +261,24 @@ class TestPallasUnderShardMap:
                                    rtol=2e-4)
         np.testing.assert_allclose(p[0].xyz, x[0].xyz, rtol=1e-3, atol=1e-6)
 
+    def test_tile_sharded_carry_matches_gather(self):
+        # the gather-free carry pipeline inside shard_map (strip binning
+        # with col_stride + traced col_offset through the expand kernel)
+        from gs_tpu.ops import rasterize_tiled as rt
+
+        g = self._run(make_sharded_train_step, self.PCFG)
+        old = rt.PAIR_SOURCE
+        try:
+            rt.PAIR_SOURCE = "carry"
+            c = self._run(make_sharded_train_step, self.PCFG)
+        finally:
+            rt.PAIR_SOURCE = old
+        # identical pair attributes -> identical forward/backward numerics
+        # up to the gradient-reduction reassociation
+        np.testing.assert_allclose(float(c[3]["loss"]), float(g[3]["loss"]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(c[0].xyz, g[0].xyz, rtol=1e-4, atol=1e-7)
+
 
 class TestShardedDensify:
     """Densify/prune on the gauss-sharded layout == replicated densify."""
