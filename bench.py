@@ -304,6 +304,17 @@ def main():
                 kernel_config = name
             else:
                 rt.PAIR_SOURCE = "gather"
+        # standalone MXU suffix sum (SCAN_MXU already covers it on an MXU
+        # winner; probe only on the VPU formulation)
+        if not rp.SUF_MXU and not rp.SCAN_MXU:
+            rp.SUF_MXU = True
+            name = f"{kernel_config}-suf"
+            results[name] = (bench_fwd_bwd(state, cam, cfg, target, rtt), cfg)
+            if results[name][0] < dt:
+                dt = results[name][0]
+                kernel_config = name
+            else:
+                rp.SUF_MXU = False
         formulation_ms = {k: round(v[0] * 1e3, 2) for k, v in results.items()}
     pix_per_s = H * W / dt
 
@@ -360,16 +371,46 @@ def main():
         # bench died with nothing printed)
         try:
             hstate, hcam = make_scene(N_HEAVY, heavy=True)
-            hcfg = RasterizeConfig(backend=BACKEND, chunk=CHUNK, tile_w=TILE_W,
-                                   tile_h=TILE_H, pair_budget_factor=1.0)
-            hcfg, h_pairs = grown_cfg(hstate, hcam, hcfg, N_HEAVY)
-            dt_h = bench_fwd_bwd(hstate, hcam, hcfg, target, rtt, iters=5)
+            heavy_ms = {}
+            best = None
+            # tile-size A/B on the hostile shape: small splats do full
+            # 48x32-tile work per pair at the default tiles; smaller tiles
+            # directly cut the dominant pixel-pair compute (movement costs
+            # are pair-count-bound and grow far less). Tile-grid kernel
+            # mode for the small-tile candidates (chunk-grid per-step
+            # overhead scales with chunk count).
+            candidates = [("t48x32", TILE_W, TILE_H, None)]
+            if os.environ.get("GS_TPU_BENCH_HEAVY_AB", "1") != "0":
+                candidates += [("t32x32", 32, 32, None),
+                               ("t16x16-tile", 16, 16, "tile")]
+            from gs_tpu.ops import rasterize_pallas as rp_mod
+            mode0 = rp_mod.KERNEL_MODE
+            for name, tw, th, kmode in candidates:
+                try:
+                    rp_mod.KERNEL_MODE = kmode or mode0
+                    hcfg = RasterizeConfig(
+                        backend=BACKEND, chunk=CHUNK, tile_w=tw, tile_h=th,
+                        pair_budget_factor=1.0)
+                    hcfg, h_pairs = grown_cfg(hstate, hcam, hcfg, N_HEAVY)
+                    dt_h = bench_fwd_bwd(hstate, hcam, hcfg, target, rtt,
+                                         iters=5)
+                    heavy_ms[name] = round(dt_h * 1e3, 2)
+                    if best is None or dt_h < best[0]:
+                        best = (dt_h, h_pairs, name)
+                except Exception as e:  # noqa: BLE001 - per-candidate
+                    heavy_ms[name] = f"{type(e).__name__}: {e}"[:120]
+            rp_mod.KERNEL_MODE = mode0
+            if best is None:
+                raise RuntimeError(f"all heavy candidates failed: {heavy_ms}")
+            dt_h, h_pairs, h_name = best
             result.update({
                 "heavy_pix_per_s": round(H * W / dt_h, 1),
                 "heavy_fwd_bwd_ms": round(dt_h * 1e3, 2),
                 "heavy_num_pairs": h_pairs,
                 "heavy_num_gaussians": N_HEAVY,
                 "heavy_pairs_per_gaussian": round(h_pairs / N_HEAVY, 2),
+                "heavy_config": h_name,
+                "heavy_ms": heavy_ms,
             })
         except Exception as e:  # noqa: BLE001 - report, don't die
             result["heavy_error"] = f"{type(e).__name__}: {e}"[:300]

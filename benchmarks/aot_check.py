@@ -85,6 +85,7 @@ VARIANTS = {
     # the sorted segment-reduce backward, the gather-free carry pipeline
     # (interval-expand kernel + sort payloads), and carry at the small-tile
     # candidates it unlocks.
+    "suf_on": ({"SUF_MXU": True}, {}),
     "grad_pallas": ({"RT_GRAD_REDUCE": "pallas"}, {}),
     "carry": ({"RT_PAIR_SOURCE": "carry"}, {}),
     "carry_grad_pallas": (

@@ -31,7 +31,7 @@ def variants():
     V = []
     base = dict(SCAN_MXU=True, POWER_MXU=True, MOMENT_MXU=True,
                 _SCAN_PREC="highest", _MOMENT_PREC="high", _DOT_PREC="high",
-                KERNEL_MODE="chunk")
+                KERNEL_MODE="chunk", SUF_MXU=False)
     def v(name, rpo=None, cfgo=None):
         d = dict(base)
         d.update(rpo or {})
@@ -95,6 +95,16 @@ def variants():
     v("legacy-dh-carry-t32-tile", dict(ldh, RT_PAIR_SOURCE="carry",
                                        KERNEL_MODE="tile"),
       dict(tile_w=32, tile_h=32))
+    v("legacy-dh-carry-t16", dict(ldh, RT_PAIR_SOURCE="carry"),
+      dict(tile_w=16, tile_h=16))
+    v("legacy-dh-carry-t16-tile", dict(ldh, RT_PAIR_SOURCE="carry",
+                                       KERNEL_MODE="tile"),
+      dict(tile_w=16, tile_h=16))
+    # phase 6: the backward suffix sum alone as a 2-pass exact-mask MXU
+    # tri contraction (no transcendentals — unlike the full SCAN_MXU flip)
+    v("legacy-dh-sufmxu", dict(ldh, SUF_MXU=True))
+    v("legacy-dh-carry-sufmxu", dict(ldh, SUF_MXU=True,
+                                     RT_PAIR_SOURCE="carry"))
     return V
 
 
@@ -146,7 +156,7 @@ def main():
     only = set(args.only.split(",")) if args.only else None
     snap = {k: getattr(rp, k) for k in
             ("SCAN_MXU", "POWER_MXU", "MOMENT_MXU", "_SCAN_PREC",
-             "_MOMENT_PREC", "_DOT_PREC", "KERNEL_MODE")}
+             "_MOMENT_PREC", "_DOT_PREC", "KERNEL_MODE", "SUF_MXU")}
     from gs_tpu.ops import rasterize_tiled as rt
     from gs_tpu.ops import binning as _binning
     rt_snap = {"RT_GRAD_REDUCE": rt.GRAD_REDUCE,

@@ -157,6 +157,17 @@ def autotune_formulation(
             winner = name
         else:
             rp._SCAN_PREC = "highest"
+    # phase 1.6: standalone MXU suffix sum on a VPU winner (SCAN_MXU
+    # already contracts it on an MXU winner — see rasterize_pallas.SUF_MXU);
+    # gated with tune_movement (the round-5 add-on probes)
+    if tune_movement and not mxu and not rp.SUF_MXU:
+        rp.SUF_MXU = True
+        name = f"{winner}-suf"
+        results[name] = try_time(name, raster_cfg)
+        if results[name] < results[winner]:
+            winner = name
+        else:
+            rp.SUF_MXU = False
     if tune_chunk:
         for chunk in (32, 128):
             if chunk == raster_cfg.chunk:

@@ -99,6 +99,15 @@ MOMENT_MXU = _MM != "0"
 # "0" leaves the better-measured "high" in place so a set_formulation(True)
 # A/B flip runs the mxu formulation at its best-known precision
 _MOMENT_PREC = "highest" if _MM == "1" else "high"
+# suffix-sum-to-MXU alone: the backward's strict suffix sum of w*b as ONE
+# upper-triangular contraction (2 exact-mask bf16 passes at "high" — the
+# 0/1 mask is bf16-exact, only the ~2^-17 hi/lo split of wb rounds),
+# replacing ~12 VPU log-step passes. Separate from SCAN_MXU because the
+# round-4 sweep could only flip BOTH scans together: the forward/backward
+# cumPRODUCTS pay log1p+exp transcendentals in the MXU formulation (the
+# suspected regression), while the suffix SUM is a plain tri-matmul with
+# no transcendentals. Default off until measured (bench.py/sweep A/B).
+SUF_MXU = os.environ.get("GS_TPU_SUF_MXU", "0") == "1"
 # precision of the compositing color contractions (fwd color accumulate,
 # backward bdot / d_rgb): fp32 on the MXU is emulated in bf16 passes —
 # HIGHEST = 6, HIGH = 3 (~1e-6 contraction error; passes the fp64 golden
@@ -149,19 +158,21 @@ def get_formulation() -> dict:
     """Snapshot the live formulation globals (pair with apply_formulation)."""
     return dict(SCAN_MXU=SCAN_MXU, POWER_MXU=POWER_MXU,
                 MOMENT_MXU=MOMENT_MXU, _SCAN_PREC=_SCAN_PREC,
-                _MOMENT_PREC=_MOMENT_PREC, _DOT_PREC=_DOT_PREC)
+                _MOMENT_PREC=_MOMENT_PREC, _DOT_PREC=_DOT_PREC,
+                SUF_MXU=SUF_MXU)
 
 
 def apply_formulation(snap: dict) -> None:
     """Restore a get_formulation() snapshot exactly (A/B harness restore)."""
     global SCAN_MXU, POWER_MXU, MOMENT_MXU
-    global _SCAN_PREC, _MOMENT_PREC, _DOT_PREC
+    global _SCAN_PREC, _MOMENT_PREC, _DOT_PREC, SUF_MXU
     SCAN_MXU = snap["SCAN_MXU"]
     POWER_MXU = snap["POWER_MXU"]
     MOMENT_MXU = snap["MOMENT_MXU"]
     _SCAN_PREC = snap["_SCAN_PREC"]
     _MOMENT_PREC = snap["_MOMENT_PREC"]
     _DOT_PREC = snap["_DOT_PREC"]
+    SUF_MXU = snap.get("SUF_MXU", SUF_MXU)
 
 
 def _interpret() -> bool:
@@ -249,6 +260,9 @@ def _suffix_sum_strict(x):
     """Strict suffix sum along axis 0: out[i] = sum_{j>i} x[j]."""
     if SCAN_MXU:
         return _tri_dot(x, lower=False, strict=True)
+    if SUF_MXU:
+        # standalone MXU suffix sum at exact-mask bf16 (see SUF_MXU note)
+        return _tri_dot(x, lower=False, strict=True, prec="high")
     x = _shift_up(x, 1, 0.0)
     s, k = x.shape[0], 1
     while k < s:
@@ -257,7 +271,7 @@ def _suffix_sum_strict(x):
     return x
 
 
-def _tri_dot(x, *, lower, strict):
+def _tri_dot(x, *, lower, strict, prec=None):
     """Prefix/suffix sum of x [S,P] along axis 0 as one [S,S]@[S,P] matmul.
 
     lower+strict=False -> inclusive cumsum; lower+strict -> exclusive;
@@ -267,6 +281,7 @@ def _tri_dot(x, *, lower, strict):
     mask being bf16-EXACT: two native-bf16 passes (mask @ x_hi + mask @
     x_lo) whose products are all exact in the f32 accumulator — the only
     error is the ~2^-17 hi/lo split of x, tighter than a generic HIGH.
+    ``prec`` None reads the _SCAN_PREC global (SUF_MXU passes "high").
     """
     s = x.shape[0]
     r = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
@@ -274,7 +289,7 @@ def _tri_dot(x, *, lower, strict):
     m = ((c < r) if strict else (c <= r)) if lower else \
         ((c > r) if strict else (c >= r))
     dims = (((1,), (0,)), ((), ()))
-    if _SCAN_PREC == "highest":
+    if (prec or _SCAN_PREC) == "highest":
         return jax.lax.dot_general(
             m.astype(_F32), x, dims, precision=_HI,
             preferred_element_type=_F32,

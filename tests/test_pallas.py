@@ -79,3 +79,36 @@ class TestPallasVsOracle:
                 np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-3 * scale,
                 err_msg=name,
             )
+
+
+class TestSufMxu:
+    """GS_TPU_SUF_MXU: the backward suffix sum as an exact-mask MXU tri dot."""
+
+    def test_grads_match_vpu_suffix_sum(self):
+        from gs_tpu.ops import rasterize_pallas as rp
+
+        h, w, n = 48, 48, 128
+        args = random_scene(jax.random.PRNGKey(9), n, h, w)
+        means2d, conics, colors, opac, depths, radii = args
+        bg = jnp.array([0.1, 0.2, 0.3])
+        target = jax.random.uniform(jax.random.PRNGKey(10), (3, h, w))
+
+        def loss(m, c, col, o):
+            out = rasterize_tiled(m, c, col, o, depths, radii, h, w, bg, CFG)
+            return jnp.mean((out.image - target) ** 2)
+
+        g0 = jax.grad(loss, argnums=(0, 1, 2, 3))(means2d, conics, colors,
+                                                  opac)
+        old = rp.SUF_MXU
+        try:
+            rp.SUF_MXU = True
+            g1 = jax.grad(loss, argnums=(0, 1, 2, 3))(means2d, conics,
+                                                      colors, opac)
+        finally:
+            rp.SUF_MXU = old
+        for a, b, name in zip(g0, g1,
+                              ["means2d", "conics", "colors", "opacity"]):
+            scale = np.maximum(np.abs(np.asarray(a)).max(), 1e-3)
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4 * scale,
+                err_msg=name)

@@ -107,6 +107,16 @@ print("VARIANT_OK")
     # segmented-sum gradient reduction (sort + blocked-MXU cumsum replaces
     # the pair-grad scatter-add; rasterize_tiled.gather_pairs_segsum)
     {"GS_TPU_GRAD_REDUCE": "segsum", "CHECK_GOLDEN": "1"},
+    # round-5 pair-movement kernels: pallas segment-reduce backward, the
+    # gather-free carry pipeline, the standalone interval-expand path, and
+    # the standalone MXU suffix sum (the backward's 12 VPU log-step passes
+    # as one 2-pass exact-mask tri contraction)
+    {"GS_TPU_GRAD_REDUCE": "pallas", "CHECK_GOLDEN": "1"},
+    {"GS_TPU_PAIR_SOURCE": "carry", "CHECK_GOLDEN": "1"},
+    {"GS_TPU_PAIR_SOURCE": "carry", "GS_TPU_GRAD_REDUCE": "pallas",
+     "GS_TPU_PALLAS_KERNEL": "tile", "CHECK_GOLDEN": "1"},
+    {"GS_TPU_BIN_EXPAND": "pallas", "CHECK_GOLDEN": "1"},
+    {"GS_TPU_SUF_MXU": "1", "CHECK_GOLDEN": "1"},
 ])
 def test_variant_parity(env):
     out = subprocess.run(
